@@ -1,0 +1,252 @@
+"""Configuration tree.
+
+Replaces the reference's eight static config classes
+(/root/reference/custom_alphazero/config.py:7-125) with a frozen-dataclass
+tree supporting CLI dotted-key overrides and per-run JSON snapshots.  Default
+values reproduce the reference training regime (see BASELINE.md): Connect-4
+7x6 n=4 gravity, 250 sims/move, c_puct 1.5, depth-4 / 128-filter resnet,
+SGD momentum 0.9 with step-ranged LR schedule, batch 256, replay cap 10k with
+2.5k warmup, arena of 150 games gated at 0.55 every 50 iterations.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Tuple
+
+
+@dataclass(frozen=True)
+class ConnectNConfig:
+    """Board geometry for Connect-N (reference config.py:38-47)."""
+
+    width: int = 7
+    height: int = 6
+    n: int = 4
+    gravity: bool = True
+
+    def __post_init__(self):
+        assert 2 <= self.n <= min(self.width, self.height)
+
+    @property
+    def num_actions(self) -> int:
+        # With gravity the action space is one action per column; without it,
+        # one per cell ordered (x, y) column-major like the reference's
+        # product(range(width), range(height)) (connect_n/board.py:130-146).
+        return self.width if self.gravity else self.width * self.height
+
+
+@dataclass(frozen=True)
+class ChessConfig:
+    """Chess engine knobs (reference config.py:26-35, chess/board.py:36-39)."""
+
+    history_length: int = 8  # plies of board history stacked into the obs
+
+
+@dataclass(frozen=True)
+class MCTSConfig:
+    """PUCT search (reference config.py:50-56)."""
+
+    simulations: int = 250
+    c_puct: float = 1.5
+    dirichlet_alpha: float = 0.03
+    dirichlet_fraction: float = 0.25
+    use_dirichlet: bool = False
+    # Sample moves ∝ visit counts before this fullmove number, argmax after
+    # (reference self_play.py:62, config.py:55).
+    greedy_from_move: int = 8
+    use_solver: bool = False
+    # Maximum tree nodes per move; 0 means simulations + 1 (fresh tree).
+    max_nodes: int = 0
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Policy-value resnet + optimizer (reference config.py:59-71)."""
+
+    depth: int = 4
+    filters: int = 128
+    policy_filters: int = 2
+    value_filters: int = 1
+    value_hidden: int = 256
+    l2: float = 1e-4
+    momentum: float = 0.9
+    # Piecewise-constant LR by cumulative optimizer steps: 1e-2 until 150k,
+    # 1e-3 until 300k, then 1e-4 (reference config.py:64-69,
+    # model/tensorflow/train.py:34-43).
+    lr_boundaries: Tuple[int, ...] = (150_000, 300_000)
+    lr_values: Tuple[float, ...] = (1e-2, 1e-3, 1e-4)
+    batch_size: int = 256
+    # bfloat16 activations on the MXU; fp32 params and losses.
+    compute_dtype: str = "bfloat16"
+
+
+@dataclass(frozen=True)
+class SelfPlayConfig:
+    """Self-play generation (reference config.py:19-23)."""
+
+    # Games stepped in lockstep per generation — the batch axis that replaces
+    # the reference's one-game-per-process joblib fan-out (self_play.py:98-110).
+    games_per_generation: int = 256
+    discount: float = 1.0
+    exclude_draws: bool = True
+    samples_checkpoint_frequency: int = 1
+
+
+@dataclass(frozen=True)
+class ReplayConfig:
+    """Replay buffer (reference config.py:83-84, train.py:16-38)."""
+
+    capacity: int = 10_000
+    min_size: int = 2_500
+
+
+@dataclass(frozen=True)
+class ArenaConfig:
+    """Candidate-vs-best evaluation gate (reference config.py:87-93)."""
+
+    games: int = 150
+    promote_threshold: float = 0.55
+    evaluation_frequency: int = 50
+    checkpoint_frequency: int = 50
+    evaluate_with_mcts: bool = False
+    evaluate_with_solver: bool = False
+    deterministic: bool = False
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device mesh topology: games/batch sharded over `data`, optional tensor
+    parallelism over `model` (replaces the HTTP/joblib topology knobs,
+    reference config.py:11-16)."""
+
+    data_axis: str = "data"
+    model_axis: str = "model"
+    # 0 = use all local devices on the data axis.
+    data_parallelism: int = 0
+    model_parallelism: int = 1
+
+
+@dataclass(frozen=True)
+class RunConfig:
+    """Run identity and output layout (reference paths.py, config.py:96-125)."""
+
+    results_dir: str = "results"
+    run_id: str = ""  # empty = timestamp at startup
+    seed: int = 0
+
+
+@dataclass(frozen=True)
+class Config:
+    game: str = "connect_n"  # "connect_n" | "chess"
+    connect_n: ConnectNConfig = field(default_factory=ConnectNConfig)
+    chess: ChessConfig = field(default_factory=ChessConfig)
+    mcts: MCTSConfig = field(default_factory=MCTSConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    self_play: SelfPlayConfig = field(default_factory=SelfPlayConfig)
+    replay: ReplayConfig = field(default_factory=ReplayConfig)
+    arena: ArenaConfig = field(default_factory=ArenaConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    run: RunConfig = field(default_factory=RunConfig)
+
+
+# ---------------------------------------------------------------------------
+# Overrides & serialization
+# ---------------------------------------------------------------------------
+
+def _coerce(value: str, target: Any) -> Any:
+    """Coerce a CLI string to the type of the field it replaces."""
+    if isinstance(target, bool):
+        return value.lower() in ("1", "true", "yes", "on")
+    if isinstance(target, int):
+        return int(value)
+    if isinstance(target, float):
+        return float(value)
+    if isinstance(target, tuple):
+        parts = [p for p in value.strip("()[] ").split(",") if p]
+        elem = target[0] if target else 0
+        return tuple(_coerce(p.strip(), elem) for p in parts)
+    return value
+
+
+def apply_overrides(config: Config, overrides: dict[str, str]) -> Config:
+    """Apply {"mcts.simulations": "64", ...} dotted-key overrides."""
+    for dotted, raw in overrides.items():
+        keys = dotted.split(".")
+        # Walk down to the leaf dataclass, then rebuild the spine.
+        objs = [config]
+        for key in keys[:-1]:
+            objs.append(getattr(objs[-1], key))
+        leaf_owner = objs[-1]
+        current = getattr(leaf_owner, keys[-1])
+        value = _coerce(raw, current) if isinstance(raw, str) else raw
+        updated = dataclasses.replace(leaf_owner, **{keys[-1]: value})
+        for obj, key in zip(reversed(objs[:-1]), reversed(keys[:-1])):
+            updated = dataclasses.replace(obj, **{key: updated})
+        config = updated
+    return config
+
+
+def parse_cli_overrides(argv: list[str]) -> dict[str, str]:
+    """Parse ["--mcts.simulations=64", ...] style args."""
+    overrides = {}
+    for arg in argv:
+        if not arg.startswith("--") or "=" not in arg:
+            raise ValueError(f"Expected --dotted.key=value, got {arg!r}")
+        key, _, value = arg[2:].partition("=")
+        overrides[key] = value
+    return overrides
+
+
+def to_dict(config) -> dict:
+    return dataclasses.asdict(config)
+
+
+def to_json(config: Config) -> str:
+    return json.dumps(to_dict(config), indent=2, sort_keys=True)
+
+
+def from_dict(data: dict, cls=Config):
+    """Rebuild a (nested) config dataclass from a plain dict."""
+    kwargs = {}
+    for f in dataclasses.fields(cls):
+        if f.name not in data:
+            continue
+        value = data[f.name]
+        if dataclasses.is_dataclass(f.type) and isinstance(value, dict):
+            kwargs[f.name] = from_dict(value, f.type)
+        elif isinstance(value, list):
+            kwargs[f.name] = tuple(value)
+        else:
+            kwargs[f.name] = value
+    return cls(**kwargs)
+
+
+# Resolve dataclass field types that are strings (from __future__ annotations).
+_FIELD_TYPES = {
+    "connect_n": ConnectNConfig, "chess": ChessConfig, "mcts": MCTSConfig,
+    "model": ModelConfig, "self_play": SelfPlayConfig, "replay": ReplayConfig,
+    "arena": ArenaConfig, "mesh": MeshConfig, "run": RunConfig,
+}
+
+
+def from_json(text: str) -> Config:
+    data = json.loads(text)
+    kwargs: dict[str, Any] = {}
+    for f in dataclasses.fields(Config):
+        if f.name not in data:
+            continue
+        value = data[f.name]
+        sub = _FIELD_TYPES.get(f.name)
+        if sub is not None and isinstance(value, dict):
+            sub_kwargs = {
+                sf.name: (tuple(value[sf.name])
+                          if isinstance(value.get(sf.name), list)
+                          else value[sf.name])
+                for sf in dataclasses.fields(sub) if sf.name in value
+            }
+            kwargs[f.name] = sub(**sub_kwargs)
+        else:
+            kwargs[f.name] = value
+    return Config(**kwargs)

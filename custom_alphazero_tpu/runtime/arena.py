@@ -1,0 +1,154 @@
+"""Vectorized arena evaluation (candidate vs incumbent).
+
+Replaces the reference's 150 sequential head-to-head games
+(/root/reference/custom_alphazero/evaluation/evaluate.py:29-134) with one
+jitted lockstep batch. Semantics preserved:
+
+- the candidate makes the first move in even-indexed games, the incumbent in
+  odd-indexed games; models alternate every ply (evaluate.py:39,60-62);
+- raw-policy mode: each move is sampled (or argmax'd when deterministic) from
+  the acting model's legal-masked renormalized policy (evaluate.py:41-52);
+- MCTS mode: a fresh search per move with the acting model, greedy argmax
+  after fullmove > greedy_from_move (strict >, evaluate.py:63-83 — note the
+  off-by-one vs self-play's >=, preserved faithfully);
+- score = wins / decisive games; an all-draw series scores 0.5; promotion at
+  score >= 0.55 (evaluate.py:117-131, config.py:90).
+
+The played action sequences are returned so the host can replay candidate
+moves through the exact solver for oracle scoring (evaluate.py:53-59) without
+a device->host hop per move.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from custom_alphazero_tpu.config import ArenaConfig, MCTSConfig
+from custom_alphazero_tpu.envs.core import Env
+from custom_alphazero_tpu.models.policy_value import masked_policy
+from custom_alphazero_tpu.search.mcts import MCTS, EvaluateFn
+
+CANDIDATE, INCUMBENT = 0, 1
+
+
+class ArenaGameLog(NamedTuple):
+    actions: jnp.ndarray  # (T, B) played action per ply
+    movers: jnp.ndarray   # (T, B) 0 = candidate moved, 1 = incumbent
+    active: jnp.ndarray   # (T, B) game still live at this ply
+
+
+class ArenaResult(NamedTuple):
+    score: jnp.ndarray            # scalar in [0, 1]
+    promote: jnp.ndarray          # bool, score >= threshold and decisives > 0
+    wins: jnp.ndarray             # candidate wins
+    losses: jnp.ndarray           # incumbent wins
+    draws: jnp.ndarray
+    per_game: jnp.ndarray         # (B,) +1 candidate win / -1 loss / 0 draw
+    log: ArenaGameLog
+
+
+def make_arena_fn(
+    env: Env,
+    arena_cfg: ArenaConfig,
+    mcts_cfg: MCTSConfig,
+    max_plies: int,
+) -> Callable[[EvaluateFn, EvaluateFn, jnp.ndarray, int], ArenaResult]:
+    """Build the arena; `evaluate_candidate` / `evaluate_incumbent` are
+    batched (obs) -> (probs, value) closures. Callers jit the result."""
+
+    mcts = MCTS(env, mcts_cfg)
+    num_actions = env.num_actions
+
+    def arena(
+        evaluate_candidate: EvaluateFn,
+        evaluate_incumbent: EvaluateFn,
+        rng,
+        num_games: int,
+    ) -> ArenaResult:
+        states = jax.vmap(lambda _: env.init())(jnp.arange(num_games))
+        starters = jnp.mod(jnp.arange(num_games), 2)  # 0: candidate first
+
+        def ply_body(carry, t):
+            states, rng = carry
+            rng, k_search, k_sample = jax.random.split(rng, 3)
+            active = ~jax.vmap(env.is_terminal)(states)
+            movers = jnp.mod(starters + t, 2)  # (B,) acting model this ply
+            obs = jax.vmap(env.observe)(states)
+            legal = jax.vmap(env.legal_mask)(states)
+
+            def mixed_evaluate(batch_obs):
+                pc, vc = evaluate_candidate(batch_obs)
+                pi_, vi_ = evaluate_incumbent(batch_obs)
+                # Leaf batches align with the game batch in both modes.
+                sel = movers == CANDIDATE
+                probs = jnp.where(sel[:, None], pc, pi_)
+                value = jnp.where(sel, vc, vi_)
+                return probs, value
+
+            if arena_cfg.evaluate_with_mcts:
+                tree = mcts.search(
+                    states, mixed_evaluate, k_search, mcts_cfg.simulations
+                )
+                visits = mcts.root_child_visits(tree).astype(jnp.float32)
+                total = jnp.maximum(visits.sum(-1, keepdims=True), 1.0)
+                probs = visits / total
+                fullmove = jax.vmap(lambda s: s.fullmove)(states)
+                greedy = fullmove > mcts_cfg.greedy_from_move  # strict: evaluate.py:73
+                one_hot = jax.nn.one_hot(jnp.argmax(visits, -1), num_actions)
+                pi = jnp.where(greedy[:, None], one_hot, probs)
+            else:
+                probs, _ = mixed_evaluate(obs)
+                pi = masked_policy(jnp.log(probs + 1e-30), legal)
+
+            if arena_cfg.deterministic:
+                actions = jnp.argmax(pi, axis=-1).astype(jnp.int32)
+            else:
+                keys = jax.random.split(k_sample, num_games)
+                safe_pi = jnp.where(
+                    pi.sum(-1, keepdims=True) > 0, pi,
+                    jax.nn.one_hot(jnp.zeros(num_games, jnp.int32), num_actions),
+                )
+                actions = jax.vmap(
+                    lambda k, p: jax.random.categorical(k, jnp.log(p + 1e-30))
+                )(keys, safe_pi).astype(jnp.int32)
+
+            next_states, _ = jax.vmap(env.step)(states, actions)
+            return (next_states, rng), (actions, movers, active)
+
+        (final_states, _), (actions_seq, movers_seq, active_seq) = jax.lax.scan(
+            ply_body, (states, rng), jnp.arange(max_plies)
+        )
+
+        lengths = active_seq.sum(axis=0)  # (B,)
+        # terminal_value < 0 <=> the last mover won; unterminated games
+        # (possible only if max_plies truncates) count as draws.
+        won = jax.vmap(env.terminal_value)(final_states) < 0
+        last_mover = jnp.mod(starters + lengths - 1, 2)
+        per_game = jnp.where(
+            won, jnp.where(last_mover == CANDIDATE, 1, -1), 0
+        ).astype(jnp.int32)
+
+        wins = jnp.sum(per_game == 1)
+        losses = jnp.sum(per_game == -1)
+        draws = jnp.sum(per_game == 0)
+        decisive = wins + losses
+        score = jnp.where(
+            decisive > 0,
+            wins.astype(jnp.float32) / jnp.maximum(decisive, 1).astype(jnp.float32),
+            0.5,
+        ).astype(jnp.float32)
+        return ArenaResult(
+            score=score,
+            promote=score >= arena_cfg.promote_threshold,
+            wins=wins,
+            losses=losses,
+            draws=draws,
+            per_game=per_game,
+            log=ArenaGameLog(actions=actions_seq, movers=movers_seq,
+                             active=active_seq),
+        )
+
+    return arena

@@ -1,0 +1,131 @@
+"""Fully-jitted lockstep self-play generation.
+
+Replaces the reference's one-game-per-CPU-process joblib fan-out
+(/root/reference/custom_alphazero/self_play.py:37-119) with a single jitted
+program stepping a batch of games in lockstep on device: per ply, one batched
+MCTS (itself batching leaf evaluation into one network forward per simulation
+wave), a move sampled per game, and sample recording under a liveness mask.
+
+Sample semantics reproduce the reference exactly:
+
+- pi = root child visits normalized; from fullmove >= greedy_from_move the
+  played distribution (and the stored policy target) is a one-hot argmax
+  (self_play.py:62, mcts.py:188-197, config.py:55).
+- The recorded state is the canonical observation *before* the move
+  (parent_state, mcts.py:204).
+- Game outcome z: with result r for the last mover (+1 win / 0 draw) and
+  distance d = L-1-t from the end, z_t = r * (-1)^d * discount^d
+  (self_play.py:69-78: repeat, flip odd-from-end signs, geometric discount).
+- Draw games can be excluded from the sample set (self_play.py:155-162).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from custom_alphazero_tpu.config import MCTSConfig, SelfPlayConfig
+from custom_alphazero_tpu.envs.core import Env
+from custom_alphazero_tpu.search.mcts import MCTS, EvaluateFn
+
+
+class SelfPlayBatch(NamedTuple):
+    """Flattened (T*B) sample arrays + validity mask."""
+
+    obs: jnp.ndarray      # (T*B, H, W, C)
+    policy: jnp.ndarray   # (T*B, A)
+    value: jnp.ndarray    # (T*B,)
+    valid: jnp.ndarray    # (T*B,) bool — live ply, non-excluded game
+
+
+class SelfPlayStats(NamedTuple):
+    games: jnp.ndarray          # scalar
+    plies: jnp.ndarray          # scalar — total live plies (== simulations run / sims-per-move)
+    wins_first_mover: jnp.ndarray
+    wins_second_mover: jnp.ndarray
+    draws: jnp.ndarray
+    mean_game_length: jnp.ndarray
+
+
+def make_selfplay_fn(
+    env: Env,
+    mcts_cfg: MCTSConfig,
+    sp_cfg: SelfPlayConfig,
+    max_plies: int,
+) -> Callable[[EvaluateFn, jnp.ndarray, int], Tuple[SelfPlayBatch, SelfPlayStats]]:
+    """Build the generation function; callers jit the returned closure
+    (typically wrapped so `evaluate_fn` closes over dynamic params)."""
+
+    mcts = MCTS(env, mcts_cfg)
+    num_actions = env.num_actions
+
+    def generate(evaluate_fn: EvaluateFn, rng, batch_size: int):
+        init_states = jax.vmap(lambda _: env.init())(jnp.arange(batch_size))
+
+        def ply_body(carry, _):
+            states, rng = carry
+            rng, k_search, k_sample = jax.random.split(rng, 3)
+            active = ~jax.vmap(env.is_terminal)(states)
+            obs = jax.vmap(env.observe)(states)
+
+            tree = mcts.search(states, evaluate_fn, k_search, mcts_cfg.simulations)
+            visits = mcts.root_child_visits(tree).astype(jnp.float32)  # (B, A)
+            visit_sum = jnp.maximum(visits.sum(axis=-1, keepdims=True), 1.0)
+            probs = visits / visit_sum
+            greedy = jax.vmap(lambda s: s.fullmove)(states) >= mcts_cfg.greedy_from_move
+            one_hot = jax.nn.one_hot(jnp.argmax(visits, axis=-1), num_actions)
+            pi = jnp.where(greedy[:, None], one_hot, probs)
+
+            # Sample ∝ pi (greedy rows are one-hot, so sampling == argmax).
+            keys = jax.random.split(k_sample, batch_size)
+            safe_pi = jnp.where(
+                pi.sum(axis=-1, keepdims=True) > 0, pi,
+                jax.nn.one_hot(jnp.zeros(batch_size, jnp.int32), num_actions),
+            )
+            actions = jax.vmap(
+                lambda k, p: jax.random.categorical(k, jnp.log(p + 1e-30))
+            )(keys, safe_pi)
+
+            next_states, rewards = jax.vmap(env.step)(states, actions)
+            return (next_states, rng), (obs, pi, active, rewards)
+
+        (final_states, _), (obs_seq, pi_seq, active_seq, reward_seq) = jax.lax.scan(
+            ply_body, (init_states, rng), length=max_plies
+        )
+        # active_seq: (T, B); games are absorbing so active is a prefix mask.
+        lengths = active_seq.sum(axis=0)                      # (B,)
+        # Only a winning final move yields a nonzero reward; draws sum to 0.
+        results = reward_seq.sum(axis=0)                      # (B,) in {0, 1}
+
+        t_idx = jnp.arange(max_plies, dtype=jnp.int32)[:, None]  # (T, 1)
+        dist_from_end = (lengths[None, :] - 1 - t_idx).astype(jnp.float32)
+        sign = jnp.where(jnp.mod(dist_from_end, 2.0) == 0.0, 1.0, -1.0)
+        z = results[None, :] * sign * sp_cfg.discount ** jnp.maximum(dist_from_end, 0.0)
+
+        valid = active_seq
+        if sp_cfg.exclude_draws:
+            valid = valid & (results[None, :] != 0)
+
+        flat = lambda x: x.reshape((-1,) + x.shape[2:])
+        batch = SelfPlayBatch(
+            obs=flat(obs_seq),
+            policy=flat(pi_seq),
+            value=flat(z).astype(jnp.float32),
+            valid=flat(valid),
+        )
+        # First mover wins games of odd length (they make moves 0, 2, ...).
+        won = results != 0
+        odd_len = jnp.mod(lengths, 2) == 1
+        stats = SelfPlayStats(
+            games=jnp.int32(batch_size),
+            plies=active_seq.sum(),
+            wins_first_mover=jnp.sum(won & odd_len),
+            wins_second_mover=jnp.sum(won & ~odd_len),
+            draws=jnp.sum(~won),
+            mean_game_length=lengths.astype(jnp.float32).mean(),
+        )
+        return batch, stats
+
+    return generate

@@ -1,0 +1,177 @@
+"""Native Connect-4 solver: anchors, invariants, brute-force cross-checks,
+CLI protocol (SURVEY.md §4 strategy (c))."""
+
+import functools
+import subprocess
+
+import numpy as np
+import pytest
+
+from custom_alphazero_tpu import solver as sv
+from tests.reference_numpy import RefConnectN
+
+AREA = sv.WIDTH * sv.HEIGHT
+
+
+@pytest.fixture(scope="module")
+def solver():
+    return sv.ConnectFourSolver()
+
+
+def play_out(moves):
+    """Apply 0-indexed columns on the NumPy twin; returns the canonical board."""
+    b = RefConnectN()
+    for m in moves:
+        b.play(m)
+    return b
+
+
+def test_double_threat_anchor(solver):
+    # After d1 d2 e1 e2 the first player wins with their 4th stone: score 18.
+    assert solver.solve_moves("4455") == 18
+    assert solver.solve_board(play_out([3, 3, 4, 4]).board) == 18
+
+
+def test_win_in_one(solver):
+    # Current player has 3 in column 3 and plays the 4th: 6 plies played,
+    # win on ply 7 (stone #7) => score (42 + 2 - 7) // 2 = 18.
+    board = play_out([3, 0, 3, 0, 3, 1]).board
+    score = solver.solve_board(board)
+    assert score == (AREA + 1 - 6) // 2 == 18
+
+
+def test_mirror_symmetry(solver):
+    rng = np.random.default_rng(0)
+    for _ in range(5):
+        b = RefConnectN()
+        moves = []
+        for _ in range(8):
+            legal = np.nonzero(b.legal_mask())[0]
+            m = int(rng.choice(legal))
+            b.play(m)
+            moves.append(m)
+            if b.terminal:
+                break
+        if b.terminal:
+            continue
+        mirrored = "".join(str(sv.WIDTH - m) for m in moves)  # 1-indexed flip
+        original = "".join(str(m + 1) for m in moves)
+        assert solver.solve_moves(original) == solver.solve_moves(mirrored)
+
+
+def test_negamax_consistency(solver):
+    """solve(p) == max over legal moves of the move's value: ending moves
+    score by the ending; others are -solve(child)."""
+    rng = np.random.default_rng(7)
+    checked = 0
+    while checked < 4:
+        b = RefConnectN()
+        for _ in range(int(rng.integers(8, 14))):
+            legal = np.nonzero(b.legal_mask())[0]
+            b.play(int(rng.choice(legal)))
+            if b.terminal:
+                break
+        if b.terminal:
+            continue
+        board = b.board
+        parent = solver.solve_board(board)
+        best = -10**9
+        for col in sv.legal_columns(board):
+            child, ended = sv.play_canonical(board, col)
+            if ended:
+                # Winning move scores by remaining stones; filling move = 0.
+                plies = int(np.count_nonzero(board))
+                won = sv._board_has_win(-child)
+                val = (AREA + 1 - plies) // 2 if won else 0
+            else:
+                val = -solver.solve_board(child)
+            best = max(best, val)
+        assert parent == best
+        checked += 1
+
+
+def brute_force(board):
+    """Exact negamax on a nearly-full canonical board (pure Python)."""
+
+    def rec(b, plies):
+        legal = [c for c in range(sv.WIDTH) if b[0, c] == 0]
+        if not legal:
+            return 0
+        best = -10**9
+        for col in legal:
+            child, ended = sv.play_canonical(b, col)
+            if ended:
+                won = sv._board_has_win(-child)
+                val = (AREA + 1 - plies) // 2 if won else 0
+            else:
+                val = -rec(child, plies + 1)
+            best = max(best, val)
+        return best
+
+    return rec(board, int(np.count_nonzero(board)))
+
+
+def test_brute_force_cross_check(solver):
+    """Random non-terminal positions with <= 9 empty cells: the native solver
+    must agree exactly with a pure-Python negamax."""
+    rng = np.random.default_rng(11)
+    checked = 0
+    attempts = 0
+    while checked < 6 and attempts < 600:
+        attempts += 1
+        b = RefConnectN()
+        while not b.terminal and np.count_nonzero(b.board) < AREA - 9:
+            legal = np.nonzero(b.legal_mask())[0]
+            b.play(int(rng.choice(legal)))
+        if b.terminal:
+            continue
+        assert solver.solve_board(b.board) == brute_force(b.board)
+        checked += 1
+    assert checked >= 3  # enough live deep positions reached
+
+
+def test_ranked_moves_and_value(solver):
+    # Immediate win available: the winning column must rank first and the
+    # value must be +1.
+    b = play_out([3, 0, 3, 0, 3, 1])
+    ranked, value = solver.ranked_moves_and_value(b.board)
+    legal = sv.legal_columns(b.board)
+    assert legal[ranked[0]] == 3
+    assert value == 1.0
+    policy, pvalue = solver.policy_and_value(b.board)
+    assert policy.argmax() == 3 and policy.sum() == 1.0
+    assert pvalue == 1.0
+
+
+def test_move_rank_score(solver):
+    b = play_out([3, 0, 3, 0, 3, 1])
+    # Best move scores 1 - 1/7; a non-best move scores strictly less.
+    assert solver.move_rank_score(b.board, 3) == pytest.approx(1 - 1 / 7)
+    assert solver.move_rank_score(b.board, 0) < 1 - 1 / 7
+
+
+def test_cli_protocol():
+    """Line-per-position protocol: 4 space-separated fields, field 2 = score
+    (the contract the reference wrapper parses, c4_exact_solver.py:38-47)."""
+    cli = sv.cli_path()
+    out = subprocess.run(
+        [cli, "-b", "/nonexistent/book"],
+        input="4455\n44455556\n",
+        capture_output=True,
+        text=True,
+        timeout=120,
+    ).stdout
+    lines = out.strip().split("\n")
+    assert len(lines) == 2
+    for line in lines:
+        fields = line.split(" ")
+        assert len(fields) == 4
+    assert int(lines[0].split(" ")[1]) == 18
+    assert int(lines[1].split(" ")[1]) == 7
+
+
+def test_invalid_sequence_raises(solver):
+    with pytest.raises(ValueError):
+        solver.solve_moves("8")  # no such column
+    with pytest.raises(ValueError):
+        solver.solve_moves("1111111")  # column overflow
