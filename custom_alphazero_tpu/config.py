@@ -129,6 +129,17 @@ class MeshConfig:
 
 
 @dataclass(frozen=True)
+class LoopConfig:
+    """Actor-learner loop cadence. The reference runs self-play and training
+    as free-running processes (self_play.py:136, train.py:41); the SPMD loop
+    couples them with an explicit train/generate ratio."""
+
+    generations: int = 0  # 0 = run forever
+    train_iterations_per_generation: int = 8
+    checkpoint_replay: bool = True
+
+
+@dataclass(frozen=True)
 class RunConfig:
     """Run identity and output layout (reference paths.py, config.py:96-125)."""
 
@@ -148,6 +159,7 @@ class Config:
     replay: ReplayConfig = field(default_factory=ReplayConfig)
     arena: ArenaConfig = field(default_factory=ArenaConfig)
     mesh: MeshConfig = field(default_factory=MeshConfig)
+    loop: LoopConfig = field(default_factory=LoopConfig)
     run: RunConfig = field(default_factory=RunConfig)
 
 
@@ -227,7 +239,8 @@ def from_dict(data: dict, cls=Config):
 _FIELD_TYPES = {
     "connect_n": ConnectNConfig, "chess": ChessConfig, "mcts": MCTSConfig,
     "model": ModelConfig, "self_play": SelfPlayConfig, "replay": ReplayConfig,
-    "arena": ArenaConfig, "mesh": MeshConfig, "run": RunConfig,
+    "arena": ArenaConfig, "mesh": MeshConfig, "loop": LoopConfig,
+    "run": RunConfig,
 }
 
 

@@ -1,0 +1,260 @@
+"""The actor-learner loop: one SPMD program.
+
+Replaces the reference's three cooperating OS processes — uvicorn serving
+(serving/api/main.py), joblib self-play (self_play.py:122-188) and the
+polling trainer (train.py:41-92) — with a single program:
+
+  per generation:
+    1. self-play a lockstep batch of games with the *best* params
+       (the reference's best-model pull, self_play.py:142-151, becomes an
+       in-memory param reference);
+    2. push samples into the device-resident replay (the HTTP queue);
+    3. run K training iterations on the *candidate* params; every
+       `checkpoint_frequency` iterations checkpoint, every
+       `evaluation_frequency` iterations run the arena and promote the
+       candidate to best on a >= 0.55 score (train_and_report,
+       model/tensorflow/train.py:47-116).
+
+Run:  python -m custom_alphazero_tpu.runtime.loop --mcts.simulations=64 ...
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from custom_alphazero_tpu import paths
+from custom_alphazero_tpu.config import (
+    Config,
+    apply_overrides,
+    parse_cli_overrides,
+    to_json,
+)
+from custom_alphazero_tpu.envs import core as env_core
+from custom_alphazero_tpu.envs import connect_n as _register_connect_n  # noqa: F401
+from custom_alphazero_tpu.io.checkpoint import (
+    checkpoint_exists,
+    load_checkpoint,
+    save_checkpoint,
+)
+from custom_alphazero_tpu.io.metrics import MetricsWriter
+from custom_alphazero_tpu.models.losses import learning_rate_schedule
+from custom_alphazero_tpu.models.policy_value import PolicyValueNet
+from custom_alphazero_tpu.parallel.mesh import make_mesh, shard_batch, shard_params
+from custom_alphazero_tpu.replay.buffer import (
+    replay_add,
+    replay_init,
+    replay_sample,
+)
+from custom_alphazero_tpu.runtime.arena import make_arena_fn
+from custom_alphazero_tpu.runtime.selfplay import make_selfplay_fn
+from custom_alphazero_tpu.runtime.train import (
+    init_train_state,
+    make_evaluate_fn,
+    make_train_step,
+)
+
+
+def max_game_plies(cfg: Config) -> int:
+    if cfg.game == "connect_n":
+        return cfg.connect_n.width * cfg.connect_n.height
+    return 512  # chess ply cap: truncated games score as draws
+
+
+def make_env(cfg: Config):
+    if cfg.game == "connect_n":
+        return env_core.make("connect_n", cfg.connect_n)
+    if cfg.game == "chess":
+        from custom_alphazero_tpu.envs import chess as _register_chess  # noqa: F401
+
+        return env_core.make("chess", cfg.chess)
+    raise ValueError(f"Unknown game {cfg.game!r}")
+
+
+@dataclass
+class Learner:
+    """All jitted programs + mutable run state for one training run."""
+
+    cfg: Config
+    env: Any = field(init=False)
+    net: PolicyValueNet = field(init=False)
+
+    def __post_init__(self):
+        cfg = self.cfg
+        self.env = make_env(cfg)
+        self.net = PolicyValueNet(self.env.num_actions, cfg.model)
+        self.mesh = make_mesh(cfg.mesh)
+        self.evaluate = make_evaluate_fn(self.net)
+        self.schedule = learning_rate_schedule(cfg.model)
+        max_plies = max_game_plies(cfg)
+
+        selfplay = make_selfplay_fn(self.env, cfg.mcts, cfg.self_play, max_plies)
+        batch_size = cfg.self_play.games_per_generation
+
+        def generate(params, batch_stats, rng):
+            return selfplay(
+                lambda obs: self.evaluate(params, batch_stats, obs),
+                rng,
+                batch_size,
+            )
+
+        self.generate = jax.jit(generate)
+        self.train_step = jax.jit(make_train_step(self.net, cfg.model))
+        self.replay_add = jax.jit(replay_add)
+        self.replay_sample = jax.jit(
+            lambda r, k: replay_sample(r, k, cfg.model.batch_size)
+        )
+
+        arena = make_arena_fn(self.env, cfg.arena, cfg.mcts, max_plies)
+
+        def run_arena(cand_params, cand_stats, best_params, best_stats, rng):
+            return arena(
+                lambda obs: self.evaluate(cand_params, cand_stats, obs),
+                lambda obs: self.evaluate(best_params, best_stats, obs),
+                rng,
+                cfg.arena.games,
+            )
+
+        self.run_arena = jax.jit(run_arena)
+
+    # -- state setup -------------------------------------------------------
+
+    def init_state(self, rng):
+        cfg = self.cfg
+        train_state = init_train_state(self.net, cfg.model, rng, self.env.obs_shape)
+        train_state = train_state.replace(
+            params=shard_params(train_state.params, self.mesh, cfg.mesh)
+        )
+        replay = replay_init(
+            cfg.replay.capacity, self.env.obs_shape, self.env.num_actions
+        )
+        return train_state, replay
+
+
+def run(cfg: Config, generations: Optional[int] = None) -> dict:
+    """Train; returns a summary dict (for tests and tools)."""
+    run_id = cfg.run.run_id or paths.new_run_id()
+    results_dir, game = cfg.run.results_dir, cfg.game
+    paths.create_all_directories(results_dir, game, run_id)
+    run_dir = paths.run_path(results_dir, game, run_id)
+    with open(os.path.join(run_dir, paths.CONFIG_FILE), "w") as fp:
+        fp.write(to_json(cfg))
+
+    learner = Learner(cfg)
+    rng = jax.random.PRNGKey(cfg.run.seed)
+    rng, k_init = jax.random.split(rng)
+
+    train_state, replay = learner.init_state(k_init)
+    training_dir = paths.training_path(results_dir, game, run_id)
+    if checkpoint_exists(training_dir):
+        train_state, meta = load_checkpoint(training_dir, train_state)
+        print(f"Resumed training state at step {meta['steps']}")
+
+    # Best params start as the candidate's (the reference serves a
+    # random-weight model until the first promotion, serving/api/main.py:26).
+    best = (train_state.params, train_state.batch_stats)
+
+    metrics = MetricsWriter(paths.tensorboard_path(results_dir, game, run_id))
+    iteration = int(train_state.steps)
+    total = generations if generations is not None else cfg.loop.generations
+    generation = 0
+    summary = {"run_id": run_id, "iterations": 0, "promotions": 0,
+               "last_arena_score": None}
+
+    print(f"Starting run {run_id} on {jax.devices()}")
+    while total == 0 or generation < total:
+        gen_start = time.time()
+        rng, k_gen = jax.random.split(rng)
+        batch, stats = learner.generate(best[0], best[1], k_gen)
+        replay = learner.replay_add(replay, batch)
+        samples = int(jax.device_get(batch.valid).sum())
+        gen_time = time.time() - gen_start
+        sims = int(stats.plies) * cfg.mcts.simulations
+        print(
+            f"[gen {generation}] {samples} samples from "
+            f"{int(stats.games)} games in {gen_time:.2f}s "
+            f"({sims / max(gen_time, 1e-9):,.0f} sims/s), replay={int(jax.device_get(replay.size))}"
+        )
+        metrics.scalars(
+            {
+                "self_play/samples": samples,
+                "self_play/games": int(stats.games),
+                "self_play/mean_game_length": float(stats.mean_game_length),
+                "self_play/draws": int(stats.draws),
+                "self_play/sims_per_second": sims / max(gen_time, 1e-9),
+            },
+            iteration,
+        )
+
+        if int(jax.device_get(replay.size)) >= cfg.replay.min_size:
+            for _ in range(cfg.loop.train_iterations_per_generation):
+                rng, k_batch = jax.random.split(rng)
+                obs_b, pi_b, z_b = learner.replay_sample(replay, k_batch)
+                train_state, m = learner.train_step(train_state, obs_b, pi_b, z_b)
+                iteration = int(m.steps)
+                summary["iterations"] = iteration
+                metrics.scalars(
+                    {
+                        "train/loss": float(m.loss),
+                        "train/policy_loss": float(m.policy_loss),
+                        "train/value_loss": float(m.value_loss),
+                        "train/learning_rate": float(m.learning_rate),
+                        "train/steps": iteration,
+                    },
+                    iteration,
+                )
+
+                if iteration % cfg.arena.checkpoint_frequency == 0:
+                    save_checkpoint(
+                        training_dir,
+                        train_state,
+                        float(learner.schedule(train_state.steps)),
+                        replay if cfg.loop.checkpoint_replay else None,
+                    )
+                if iteration % cfg.arena.evaluation_frequency == 0:
+                    rng, k_arena = jax.random.split(rng)
+                    result = learner.run_arena(
+                        train_state.params, train_state.batch_stats,
+                        best[0], best[1], k_arena,
+                    )
+                    score = float(jax.device_get(result.score))
+                    promoted = bool(jax.device_get(result.promote))
+                    summary["last_arena_score"] = score
+                    print(
+                        f"[iter {iteration}] arena score={score:.3f} "
+                        f"(+{int(result.wins)}/-{int(result.losses)}/="
+                        f"{int(result.draws)}) promoted={promoted}"
+                    )
+                    metrics.scalar("evaluation/winning_score", score, iteration)
+                    if promoted:
+                        best = (train_state.params, train_state.batch_stats)
+                        summary["promotions"] += 1
+                    # The winner's weights land in evaluation/iteration_N
+                    # (reference train.py(model):93-102 saves either way).
+                    save_checkpoint(
+                        paths.evaluation_iteration_path(
+                            results_dir, game, run_id, iteration
+                        ),
+                        train_state,
+                        float(learner.schedule(train_state.steps)),
+                    )
+        generation += 1
+    metrics.close()
+    return summary
+
+
+def main(argv=None):
+    overrides = parse_cli_overrides(sys.argv[1:] if argv is None else argv)
+    cfg = apply_overrides(Config(), overrides)
+    run(cfg)
+
+
+if __name__ == "__main__":
+    main()
