@@ -137,6 +137,12 @@ class LoopConfig:
     generations: int = 0  # 0 = run forever
     train_iterations_per_generation: int = 8
     checkpoint_replay: bool = True
+    # Save the generation's (states, policies, values) like the reference's
+    # per-iteration samples.npz (self_play.py:170-178); 0 disables.
+    samples_checkpoint_frequency: int = 1
+    # Every N generations, render one MCTS search tree (DOT/PDF) like the
+    # reference's visualize_mcts_iteration (utils.py:136-162); 0 disables.
+    visualize_frequency: int = 0
 
 
 @dataclass(frozen=True)

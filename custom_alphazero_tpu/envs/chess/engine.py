@@ -1,0 +1,472 @@
+"""Pure-JAX vectorized chess engine.
+
+Replaces the reference's python-chess-backed board
+(/root/reference/custom_alphazero/chess/board.py — which free-rides on the
+python_chess C/Python rules engine) with a from-scratch, jit-pure,
+table-driven rules implementation over the canonical side-to-move
+perspective, validated by perft counts on standard positions
+(tests/test_chess.py).
+
+Design: for each of the 1968 fixed actions, legality = geometric pattern
+(precomputed tables) AND clear path AND destination rule AND king safety,
+where king safety simulates the move on a scratch board and runs an
+attacked-square query against the resulting position — all vectorized over
+the action axis with gathers, no control flow. The legal mask and in-check
+bit are computed once per position in ``step``/``init`` and cached in the
+state (they are needed anyway for terminal detection).
+
+Terminal rules: checkmate (+1 for the mover), stalemate, 75-move rule
+(halfmove clock >= 150 plies), insufficient material (kings, king+minor,
+same-coloured single bishops), and repetition — detected with a dual 32-bit
+Zobrist hash over a 100-ply ring, 3 occurrences = draw. The reference
+inherits python-chess's is_game_over (fivefold + seventyfive-move
+variants); the threefold window here is a documented, stricter
+approximation. Observation: 8-ply history x (13 piece one-hot + repetition)
+planes + castling/fullmove/halfmove planes = 118 channels, the reference's
+full_state layout (chess/board.py:58-73).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from custom_alphazero_tpu.config import ChessConfig
+from custom_alphazero_tpu.envs import core
+from custom_alphazero_tpu.envs.chess import tables as T
+
+HISTORY = 8
+HASH_RING = 100
+OBS_CHANNELS = HISTORY * 14 + 6
+
+
+@struct.dataclass
+class ChessState:
+    """Canonical single-game state (side to move owns the + pieces)."""
+
+    board: jnp.ndarray       # (8, 8) int8
+    castling: jnp.ndarray    # (4,) bool: own K, own Q, opp K, opp Q
+    ep_file: jnp.ndarray     # () int32, -1 = none; target square = (5, file)
+    halfmove: jnp.ndarray    # () int32, plies since pawn move/capture
+    fullmove: jnp.ndarray    # () int32, total plies played
+    terminal: jnp.ndarray    # () bool
+    won: jnp.ndarray         # () bool — the last mover delivered mate
+    legal: jnp.ndarray       # (A,) bool — cached legal mask for this position
+    in_check: jnp.ndarray    # () bool — side to move is in check
+    history: jnp.ndarray     # (HISTORY, 8, 8) int8 — canonical boards, newest first
+    history_rep: jnp.ndarray  # (HISTORY,) bool — entry was a repeat when recorded
+    hash_ring: jnp.ndarray   # (HASH_RING, 2) uint32 — recent position hashes
+    ring_idx: jnp.ndarray    # () int32
+
+
+# Table constants as device arrays (closed over by the jitted functions).
+_FROM = jnp.asarray(T.FROM)
+_TO = jnp.asarray(T.TO)
+_PROMO = jnp.asarray(T.PROMO)
+_DIR = jnp.asarray(T.DIR)
+_DIST = jnp.asarray(T.DIST)
+_IS_KNIGHT = jnp.asarray(T.IS_KNIGHT)
+_BETWEEN = jnp.asarray(T.BETWEEN)
+_RAY = jnp.asarray(T.RAY)
+_KNIGHT_T = jnp.asarray(T.KNIGHT_TARGETS)
+_KING_T = jnp.asarray(T.KING_TARGETS)
+_OPP_PAWN_FROM = jnp.asarray(T.OPP_PAWN_FROM)
+_ZOBRIST = jnp.asarray(T.ZOBRIST)
+_ZOBRIST_CASTLE = jnp.asarray(T.ZOBRIST_CASTLE)
+_ZOBRIST_EP = jnp.asarray(T.ZOBRIST_EP)
+
+A = T.NUM_ACTIONS
+
+
+def _gather(flat: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """flat[idx] with -1 indices returning 0 (empty)."""
+    return jnp.where(idx >= 0, flat[jnp.maximum(idx, 0)], 0).astype(flat.dtype)
+
+
+def _attacked(flat: jnp.ndarray, sq: jnp.ndarray) -> jnp.ndarray:
+    """Is `sq` attacked by the opponent (negative pieces) on `flat` (64,)?"""
+    knights = jnp.any(_gather(flat, _KNIGHT_T[sq]) == -T.KNIGHT)
+    kings = jnp.any(_gather(flat, _KING_T[sq]) == -T.KING)
+    pawns = jnp.any(_gather(flat, _OPP_PAWN_FROM[sq]) == -T.PAWN)
+
+    rays = _RAY[sq]                      # (8, 7)
+    vals = _gather(flat, rays)           # (8, 7) piece codes, 0 off-board
+    on_board = rays >= 0
+    occupied = (vals != 0) & on_board
+    # First occupied step per ray: nothing occupied before it.
+    before = jnp.cumsum(occupied.astype(jnp.int32), axis=1) - occupied.astype(jnp.int32)
+    first_hit = occupied & (before == 0)
+    diag = jnp.asarray([d in T.DIAGONAL_DIRS for d in range(8)])[:, None]
+    slider = jnp.where(
+        diag,
+        (vals == -T.BISHOP) | (vals == -T.QUEEN),
+        (vals == -T.ROOK) | (vals == -T.QUEEN),
+    )
+    sliders = jnp.any(first_hit & slider)
+    return knights | kings | pawns | sliders
+
+
+def _apply_action(flat: jnp.ndarray, castling, ep_file, action: jnp.ndarray):
+    """Apply action to a flat (64,) board; returns (new_flat, info dict).
+    No legality checking — callers guarantee legality (or mask upstream)."""
+    frm, to = _FROM[action], _TO[action]
+    promo = _PROMO[action]
+    piece = flat[frm]
+    is_pawn = piece == T.PAWN
+    to_val = flat[to]
+    frm_file, to_file = frm % 8, to % 8
+
+    ep_capture = is_pawn & (frm_file != to_file) & (to_val == 0)
+    new = flat.at[frm].set(0)
+    new = new.at[to].set(jnp.where(promo > 0, promo, piece).astype(flat.dtype))
+    # En-passant: remove the opponent pawn one rank below the target.
+    ep_sq = to - 8
+    new = jnp.where(ep_capture, new.at[ep_sq].set(0), new)
+    # Castling: the king travels two files from e1.
+    is_castle_k = (piece == T.KING) & (frm == T.E1) & (to == T.G1)
+    is_castle_q = (piece == T.KING) & (frm == T.E1) & (to == T.C1)
+    new = jnp.where(
+        is_castle_k, new.at[T.H1].set(0).at[T.F1].set(T.ROOK), new
+    )
+    new = jnp.where(
+        is_castle_q, new.at[T.A1].set(0).at[T.D1].set(T.ROOK), new
+    )
+    info = dict(
+        piece=piece, is_pawn=is_pawn, captured=(to_val != 0) | ep_capture,
+        frm=frm, to=to,
+        double_push=is_pawn & (to - frm == 16),
+        new_ep_file=jnp.where(is_pawn & (to - frm == 16), frm_file, -1),
+    )
+    return new, info
+
+
+def _legal_mask(flat: jnp.ndarray, castling, ep_file):
+    """(legal (A,), in_check ()) for the canonical position."""
+    piece = flat[_FROM]                 # (A,)
+    to_val = flat[_TO]
+    own_from = piece > 0
+    dest_free = to_val <= 0             # never capture own
+
+    path_vals = _gather(flat, _BETWEEN)  # (A, 6)
+    path_clear = jnp.all((path_vals == 0) | (_BETWEEN < 0), axis=1)
+
+    frm_rank = _FROM // 8
+    to_rank = _TO // 8
+    ep_target = jnp.where(ep_file >= 0, 5 * 8 + ep_file, -100)
+
+    diag_dir = jnp.isin(_DIR, jnp.asarray(T.DIAGONAL_DIRS))
+    orth_dir = jnp.isin(_DIR, jnp.asarray(T.ORTHOGONAL_DIRS))
+
+    knight_ok = _IS_KNIGHT & (piece == T.KNIGHT)
+    queen_ok = ~_IS_KNIGHT & (_PROMO == 0) & (piece == T.QUEEN) & path_clear
+    rook_ok = ~_IS_KNIGHT & (_PROMO == 0) & (piece == T.ROOK) & orth_dir & path_clear
+    bishop_ok = ~_IS_KNIGHT & (_PROMO == 0) & (piece == T.BISHOP) & diag_dir & path_clear
+    king_ok = ~_IS_KNIGHT & (_PROMO == 0) & (piece == T.KING) & (_DIST == 1)
+
+    pawn_push = (
+        (piece == T.PAWN) & (_PROMO == 0) & (_DIR == 0) & (_DIST == 1)
+        & (to_val == 0) & (to_rank < 7)
+    )
+    pawn_double = (
+        (piece == T.PAWN) & (_PROMO == 0) & (_DIR == 0) & (_DIST == 2)
+        & (frm_rank == 1) & path_clear & (to_val == 0)
+    )
+    pawn_capture = (
+        (piece == T.PAWN) & (_PROMO == 0) & diag_dir & (_DIR != 3) & (_DIR != 5)
+        & (_DIST == 1) & (to_rank < 7)
+        & ((to_val < 0) | (_TO == ep_target))
+    )
+    promo_push = (_PROMO > 0) & (piece == T.PAWN) & (frm_rank == 6) & (_DIR == 0) & (to_val == 0)
+    promo_capture = (
+        (_PROMO > 0) & (piece == T.PAWN) & (frm_rank == 6)
+        & ((_DIR == 1) | (_DIR == 7)) & (to_val < 0)
+    )
+
+    pseudo = own_from & dest_free & (
+        knight_ok | queen_ok | rook_ok | bishop_ok | king_ok
+        | pawn_push | pawn_double | pawn_capture | promo_push | promo_capture
+    )
+
+    king_sq = jnp.argmax(flat == T.KING)
+    in_check = _attacked(flat, king_sq)
+
+    # Castling: rights + empty path + king not crossing attacked squares.
+    def castle_ok(right, empties, cross):
+        empty_ok = jnp.all(flat[jnp.asarray(empties)] == 0)
+        safe = ~in_check
+        for sq in cross:
+            safe &= ~_attacked(flat, jnp.int32(sq))
+        return right & empty_ok & safe & (flat[T.E1] == T.KING)
+
+    castle_k = castle_ok(castling[0], [T.F1, T.G1], [T.F1, T.G1])
+    castle_q = castle_ok(castling[1], [T.B1, T.C1, T.D1], [T.D1, T.C1])
+    pseudo = pseudo.at[T.CASTLE_K].set(castle_k)
+    pseudo = pseudo.at[T.CASTLE_Q].set(castle_q)
+
+    # King safety: the post-move board is never materialized. For each
+    # action we gather only the squares an attack query inspects (king rays,
+    # knight/pawn/king origins) and patch their values with the move's cell
+    # deltas (from vacated, ep pawn removed, castle rook slid, target
+    # replaced) — O(~90) cells per action instead of 64 board copies.
+    frm_all, to_all = _FROM, _TO
+    ep_cap_all = (
+        (piece == T.PAWN) & (frm_all % 8 != to_all % 8) & (to_val == 0)
+    )
+    ep_removed = to_all - 8
+    moved_piece = jnp.where(_PROMO > 0, _PROMO, piece).astype(flat.dtype)
+    is_ck = (piece == T.KING) & (frm_all == T.E1) & (to_all == T.G1)
+    is_cq = (piece == T.KING) & (frm_all == T.E1) & (to_all == T.C1)
+    ksq_after = jnp.where(piece == T.KING, to_all, king_sq)
+
+    def patched(sq, a):
+        """Board value at `sq` after action `a` (sq may be -1 = off-board)."""
+        v = _gather(flat, sq)
+        v = jnp.where(sq == frm_all[a], 0, v)
+        v = jnp.where(ep_cap_all[a] & (sq == ep_removed[a]), 0, v)
+        v = jnp.where(is_ck[a] & (sq == T.H1), 0, v)
+        v = jnp.where(is_ck[a] & (sq == T.F1), T.ROOK, v)
+        v = jnp.where(is_cq[a] & (sq == T.A1), 0, v)
+        v = jnp.where(is_cq[a] & (sq == T.D1), T.ROOK, v)
+        v = jnp.where(sq == to_all[a], moved_piece[a], v)
+        return jnp.where(sq >= 0, v, 0).astype(flat.dtype)
+
+    def safe_after(a):
+        k = ksq_after[a]
+        knights = jnp.any(patched(_KNIGHT_T[k], a) == -T.KNIGHT)
+        kings = jnp.any(patched(_KING_T[k], a) == -T.KING)
+        pawns = jnp.any(patched(_OPP_PAWN_FROM[k], a) == -T.PAWN)
+        rays = _RAY[k]
+        vals = patched(rays, a)
+        on_board = rays >= 0
+        occupied = (vals != 0) & on_board
+        before = jnp.cumsum(occupied.astype(jnp.int32), axis=1) - occupied.astype(jnp.int32)
+        first_hit = occupied & (before == 0)
+        diag = jnp.asarray([d in T.DIAGONAL_DIRS for d in range(8)])[:, None]
+        slider = jnp.where(
+            diag,
+            (vals == -T.BISHOP) | (vals == -T.QUEEN),
+            (vals == -T.ROOK) | (vals == -T.QUEEN),
+        )
+        return ~(knights | kings | pawns | jnp.any(first_hit & slider))
+
+    safe = jax.vmap(safe_after)(jnp.arange(A))
+    return pseudo & safe, in_check
+
+
+def _xor_reduce(x: jnp.ndarray, axis: int) -> jnp.ndarray:
+    return jax.lax.reduce(
+        x, jnp.uint32(0), lambda a, b: jax.lax.bitwise_xor(a, b), (axis,)
+    )
+
+
+def _position_hash(flat, castling, ep_file):
+    """(2,) uint32 dual hash of (pieces, castling, ep)."""
+    codes = (flat.astype(jnp.int32) + 6).clip(0, 12)  # 0..12
+    piece_h = _ZOBRIST[:, codes, jnp.arange(64)]      # (2, 64)
+    occupied = flat != 0
+    h = _xor_reduce(jnp.where(occupied[None, :], piece_h, 0), axis=1)
+    castle_h = _xor_reduce(
+        jnp.where(castling[None, :], _ZOBRIST_CASTLE, 0), axis=1
+    )
+    ep_h = _ZOBRIST_EP[:, jnp.where(ep_file >= 0, ep_file, 8)]
+    return h ^ castle_h ^ ep_h
+
+
+def _insufficient_material(flat):
+    counts = jnp.stack([jnp.sum(flat == c) + jnp.sum(flat == -c)
+                        for c in (T.PAWN, T.KNIGHT, T.BISHOP, T.ROOK, T.QUEEN)])
+    pawns, knights, bishops, rooks, queens = counts
+    heavy = pawns + rooks + queens
+    minors = knights + bishops
+    bare = (heavy == 0) & (minors <= 1)
+    # Single bishop each on same colour squares.
+    sq_colour = (jnp.arange(64) // 8 + jnp.arange(64) % 8) % 2
+    own_b = flat == T.BISHOP
+    opp_b = flat == -T.BISHOP
+    same_colour = (
+        (heavy == 0) & (knights == 0)
+        & (jnp.sum(own_b) == 1) & (jnp.sum(opp_b) == 1)
+        & (jnp.sum(jnp.where(own_b, sq_colour, 0))
+           == jnp.sum(jnp.where(opp_b, sq_colour, 0)))
+    )
+    return bare | same_colour
+
+
+@jax.jit
+def _analyze_jit(flat, castling, ep_file):
+    legal, in_check = _legal_mask(flat, castling, ep_file)
+    return (
+        legal,
+        in_check,
+        _position_hash(flat, castling, ep_file),
+        _insufficient_material(flat),
+    )
+
+
+class Chess(core.Env):
+    """Chess environment over the fixed 1968-action table."""
+
+    def __init__(self, cfg: ChessConfig = ChessConfig()):
+        self.cfg = cfg
+        self.num_actions = A
+        self.obs_shape = (8, 8, OBS_CHANNELS)
+
+    # -- construction ------------------------------------------------------
+
+    def init(self) -> ChessState:
+        return self.state_from_arrays(
+            T.START_BOARD, np.ones(4, bool), -1, 0, 0
+        )
+
+    def state_from_arrays(self, board, castling, ep_file, halfmove, plies) -> ChessState:
+        """Build a state from host arrays (canonical orientation) — used by
+        init, FEN loading and tests. The analysis runs under jit: the
+        1968-action legality pass is far too many ops to dispatch eagerly."""
+        board = jnp.asarray(board, jnp.int8)
+        castling = jnp.asarray(castling, bool)
+        flat = board.reshape(64)
+        legal, in_check, h, insufficient = _analyze_jit(
+            flat, castling, jnp.int32(ep_file)
+        )
+        history = jnp.zeros((HISTORY, 8, 8), jnp.int8).at[0].set(board)
+        ring = jnp.zeros((HASH_RING, 2), jnp.uint32).at[0].set(h)
+        no_moves = ~legal.any()
+        # A loaded position may already be decided.
+        mate = no_moves & in_check
+        terminal = no_moves | insufficient
+        return ChessState(
+            board=board,
+            castling=castling,
+            ep_file=jnp.int32(ep_file),
+            halfmove=jnp.int32(halfmove),
+            fullmove=jnp.int32(plies),
+            terminal=terminal,
+            # `won` is from the *last mover*'s perspective: if the side to
+            # move is mated, the (virtual) last mover won.
+            won=mate,
+            legal=legal,
+            in_check=in_check,
+            history=history,
+            history_rep=jnp.zeros((HISTORY,), bool),
+            hash_ring=ring,
+            ring_idx=jnp.int32(1),
+        )
+
+    def from_fen(self, fen: str) -> ChessState:
+        board, castling, ep_file, halfmove, plies, _ = T.board_from_fen(fen)
+        return self.state_from_arrays(board, castling, ep_file, halfmove, plies)
+
+    # -- dynamics ----------------------------------------------------------
+
+    def step(self, state: ChessState, action: jnp.ndarray):
+        flat = state.board.reshape(64)
+        new_flat, info = _apply_action(
+            flat, state.castling, state.ep_file, action.astype(jnp.int32)
+        )
+
+        # Castling rights: own side loses rights on king/rook moves; the
+        # opponent loses a right when its rook's home square is captured.
+        own_k = state.castling[0] & (info["piece"] != T.KING) & ~(
+            (info["frm"] == T.H1) & (info["piece"] == T.ROOK))
+        own_q = state.castling[1] & (info["piece"] != T.KING) & ~(
+            (info["frm"] == T.A1) & (info["piece"] == T.ROOK))
+        opp_k = state.castling[2] & ~(info["to"] == T.H8)
+        opp_q = state.castling[3] & ~(info["to"] == T.A8)
+
+        # Mirror to the next player's canonical perspective.
+        new_board = -new_flat.reshape(8, 8)[::-1]
+        castling = jnp.stack([opp_k, opp_q, own_k, own_q])
+        ep_file = info["new_ep_file"].astype(jnp.int32)
+        halfmove = jnp.where(
+            info["is_pawn"] | info["captured"], 0, state.halfmove + 1
+        ).astype(jnp.int32)
+
+        new_legal, in_check = _legal_mask(new_board.reshape(64), castling, ep_file)
+        no_moves = ~new_legal.any()
+        mate = no_moves & in_check
+        stalemate = no_moves & ~in_check
+
+        h = _position_hash(new_board.reshape(64), castling, ep_file)
+        # Repetition: occurrences of this hash in the ring (both sub-hashes).
+        ring = state.hash_ring.at[state.ring_idx % HASH_RING].set(h)
+        matches = jnp.sum(jnp.all(ring == h[None, :], axis=1))
+        repetition = matches >= 3
+        seventy_five = halfmove >= 150
+        insufficient = _insufficient_material(new_board.reshape(64))
+
+        terminal = mate | stalemate | repetition | seventy_five | insufficient
+        reward = jnp.where(mate, 1.0, 0.0).astype(jnp.float32)
+
+        history = jnp.concatenate(
+            [new_board[None], state.history[:-1]], axis=0
+        )
+        history_rep = jnp.concatenate(
+            [(matches >= 2)[None], state.history_rep[:-1]], axis=0
+        )
+
+        next_state = ChessState(
+            board=new_board,
+            castling=castling,
+            ep_file=ep_file,
+            halfmove=halfmove,
+            fullmove=state.fullmove + 1,
+            terminal=terminal,
+            won=mate,
+            legal=new_legal & ~terminal,
+            in_check=in_check,
+            history=history,
+            history_rep=history_rep,
+            hash_ring=ring,
+            ring_idx=state.ring_idx + 1,
+        )
+        # Absorbing terminal states (scalar `keep` broadcasts over any leaf).
+        keep = state.terminal
+        merged = jax.tree.map(
+            lambda old, new: jnp.where(keep, old, new), state, next_state
+        )
+        reward = jnp.where(keep, 0.0, reward)
+        return merged, reward
+
+    # -- queries -----------------------------------------------------------
+
+    def legal_mask(self, state: ChessState) -> jnp.ndarray:
+        return state.legal & ~state.terminal
+
+    def is_terminal(self, state: ChessState) -> jnp.ndarray:
+        return state.terminal
+
+    def terminal_value(self, state: ChessState) -> jnp.ndarray:
+        return jnp.where(state.won, -1.0, 0.0).astype(jnp.float32)
+
+    def observe(self, state: ChessState) -> jnp.ndarray:
+        """118-plane observation (reference full_state, chess/board.py:58-73):
+        8 history plies x (13 piece one-hot + repetition) + 4 castling +
+        fullmove + halfmove planes. History entries alternate perspective as
+        stored; re-orient odd entries to the current player's view."""
+        planes = []
+        for i in range(HISTORY):
+            hb = state.history[i]
+            if i % 2 == 1:  # stored from the opponent's perspective
+                hb = -hb[::-1]
+            onehot = jax.nn.one_hot(
+                hb.astype(jnp.int32) + 6, 13, dtype=jnp.float32
+            )  # (8, 8, 13): [-6..6] -> [0..12]
+            rep = jnp.full((8, 8, 1), state.history_rep[i], jnp.float32)
+            planes.append(jnp.concatenate([onehot, rep], axis=-1))
+        extra = jnp.stack(
+            [
+                jnp.full((8, 8), state.castling[0], jnp.float32),
+                jnp.full((8, 8), state.castling[1], jnp.float32),
+                jnp.full((8, 8), state.castling[2], jnp.float32),
+                jnp.full((8, 8), state.castling[3], jnp.float32),
+                jnp.full((8, 8), state.fullmove.astype(jnp.float32)),
+                jnp.full((8, 8), state.halfmove.astype(jnp.float32)),
+            ],
+            axis=-1,
+        )
+        return jnp.concatenate(planes + [extra], axis=-1)
+
+
+core.register("chess", Chess)

@@ -138,6 +138,33 @@ class Learner:
         return train_state, replay
 
 
+def _visualize_tree(learner, best, generation, results_dir, game, run_id):
+    """Render one search tree from the opening position with the current
+    best params (parity with visualize_mcts_iteration, utils.py:136-162)."""
+    from custom_alphazero_tpu.search.mcts import MCTS
+    from custom_alphazero_tpu.tools.visualize import save_tree
+
+    cfg = learner.cfg
+    mcts = MCTS(learner.env, cfg.mcts)
+    roots = jax.vmap(lambda _: learner.env.init())(jnp.arange(1))
+    if not hasattr(learner, "_viz_search"):
+        learner._viz_search = jax.jit(
+            lambda p, s, r, k: mcts.search(
+                r,
+                lambda obs: learner.evaluate(p, s, obs),
+                k,
+                cfg.mcts.simulations,
+            )
+        )
+    tree = learner._viz_search(best[0], best[1], roots,
+                               jax.random.PRNGKey(generation))
+    out = os.path.join(
+        paths.self_play_iteration_path(results_dir, game, run_id, generation),
+        f"mcts_tree_iteration_{generation}",
+    )
+    save_tree(tree, out, c_puct=cfg.mcts.c_puct)
+
+
 def run(cfg: Config, generations: Optional[int] = None) -> dict:
     """Train; returns a summary dict (for tests and tools)."""
     run_id = cfg.run.run_id or paths.new_run_id()
@@ -174,8 +201,29 @@ def run(cfg: Config, generations: Optional[int] = None) -> dict:
         rng, k_gen = jax.random.split(rng)
         batch, stats = learner.generate(best[0], best[1], k_gen)
         replay = learner.replay_add(replay, batch)
-        samples = int(jax.device_get(batch.valid).sum())
+        valid_host = jax.device_get(batch.valid)
+        samples = int(valid_host.sum())
         gen_time = time.time() - gen_start
+
+        freq = cfg.loop.samples_checkpoint_frequency
+        if freq and (generation + 1) % freq == 0:
+            # Per-generation sample archive (reference samples.npz,
+            # self_play.py:170-178, read back by offline analysis only).
+            it_dir = paths.self_play_iteration_path(
+                results_dir, game, run_id, generation
+            )
+            os.makedirs(it_dir, exist_ok=True)
+            host = jax.device_get(batch)
+            np.savez(
+                os.path.join(it_dir, paths.SAMPLES_FILE),
+                states=host.obs[valid_host],
+                policies=host.policy[valid_host],
+                values=host.value[valid_host],
+            )
+        vfreq = cfg.loop.visualize_frequency
+        if vfreq and (generation + 1) % vfreq == 0:
+            _visualize_tree(learner, best, generation,
+                            results_dir, game, run_id)
         sims = int(stats.plies) * cfg.mcts.simulations
         print(
             f"[gen {generation}] {samples} samples from "

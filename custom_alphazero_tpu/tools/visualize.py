@@ -1,0 +1,134 @@
+"""MCTS tree visualization.
+
+Parity with the reference's ``MctsVisualizer``
+(/root/reference/custom_alphazero/visualize_mcts.py): breadth-first walk of
+the tree, nodes rendered as monospace board diagrams, edges annotated with
+UCT / Q (exploitation) / U (exploration) / P (prior) / N (visits) and the
+visit share among siblings; the played edge is red, greedily-played edges
+are bold; unvisited branches are pruned. Works offline from the array tree
+a search returns (a dump of the N/W/P node arrays — SURVEY.md §5), emitting
+DOT text with no hard dependency; rendering to PDF uses the `graphviz`
+package when available.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+
+from custom_alphazero_tpu.search.mcts import Tree, UNVISITED
+
+
+def _board_label(board: np.ndarray) -> str:
+    """ASCII board like the reference repr_graphviz (connect_n/board.py:55-67)
+    — also works for the chess int8 array."""
+    symbols = {0: " . ", 1: " X ", -1: " O "}
+    chess = {1: " P ", 2: " N ", 3: " B ", 4: " R ", 5: " Q ", 6: " K ",
+             -1: " p ", -2: " n ", -3: " b ", -4: " r ", -5: " q ", -6: " k ",
+             0: " . "}
+    table = symbols if set(np.unique(board)) <= {-1, 0, 1} else chess
+    rows = ["".join(table[int(v)] for v in row) for row in board]
+    return "\\n".join(rows)
+
+
+def tree_to_dot(
+    tree: Tree,
+    game_index: int = 0,
+    c_puct: float = 1.5,
+    min_visits: int = 1,
+    played_action: Optional[int] = None,
+    greedy: bool = False,
+    max_nodes: int = 400,
+) -> str:
+    """Render one game's search tree to DOT text.
+
+    min_visits: prune edges with fewer visits (the reference's 'light' mode
+    keeps only played edges; min_visits with played_action marking subsumes
+    both renders, visualize_mcts.py:107-117).
+    """
+    t = jax.tree.map(lambda leaf: np.asarray(leaf[game_index]), tree)
+    boards = np.asarray(t.states.board)
+    n_alloc = int(t.node_count)
+
+    lines = [
+        "digraph MCTS {",
+        '  node [shape=box, fontname="Courier"];',
+        '  edge [fontname="Helvetica", fontsize=9];',
+    ]
+    emitted = set()
+
+    def emit_node(i):
+        if i in emitted:
+            return
+        emitted.add(i)
+        label = _board_label(boards[i])
+        extra = f"\\nv={t.value_evaluated[i]:+.2f}" if t.expanded[i] else ""
+        lines.append(f'  n{i} [label="{label}{extra}"];')
+
+    # BFS from the root (reference _breadth_first_edges, :37-48).
+    queue = [0]
+    visited = {0}
+    while queue and len(emitted) < max_nodes:
+        node = queue.pop(0)
+        if not t.expanded[node]:
+            continue
+        children = t.children[node]
+        child_visits = np.where(
+            children >= 0, t.visits[np.maximum(children, 0)], 0
+        )
+        total = child_visits.sum()
+        sqrt_total = np.sqrt(total)
+        for action, child in enumerate(children):
+            if child == UNVISITED or child >= n_alloc:
+                continue
+            nv = int(t.visits[child])
+            is_played = node == 0 and played_action == action
+            if nv < min_visits and not is_played:
+                continue
+            q = float(t.value_sum[child]) / nv if nv else 0.0
+            p = float(t.prior[node, action])
+            u = c_puct * p * sqrt_total / (1 + nv)
+            share = nv / total if total else 0.0
+            emit_node(node)
+            emit_node(child)
+            attrs = [
+                f'label="a={action} UCT={q + u:.2f}\\nQ={q:+.2f} U={u:.2f}'
+                f'\\nP={p:.2f} N={nv} {share:.0%}"'
+            ]
+            if is_played:
+                attrs.append("color=red")
+                if greedy:
+                    attrs.append("penwidth=3")
+            lines.append(f"  n{node} -> n{child} [{', '.join(attrs)}];")
+            if child not in visited:
+                visited.add(child)
+                queue.append(child)
+    lines.append("}")
+    return "\n".join(lines)
+
+
+def save_tree(
+    tree: Tree,
+    path: str,
+    game_index: int = 0,
+    render_pdf: bool = True,
+    **kwargs,
+) -> str:
+    """Write `<path>.dot` (and `<path>.pdf` when graphviz is available,
+    mirroring save_as_pdf, visualize_mcts.py:130-137). Returns the DOT path."""
+    dot = tree_to_dot(tree, game_index, **kwargs)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    dot_path = path + ".dot"
+    with open(dot_path, "w") as fp:
+        fp.write(dot)
+    if render_pdf:
+        try:
+            import graphviz
+
+            graphviz.Source(dot).render(path, format="pdf", cleanup=True)
+        except Exception:  # noqa: BLE001 — rendering is best-effort
+            pass
+    return dot_path

@@ -1,0 +1,213 @@
+"""Chess engine: perft validation on standard positions + rule-specific
+cases (castling legality, en passant incl. the rank-pin trap,
+capture-promotions, mate/stalemate/draw detection)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from custom_alphazero_tpu.envs.chess import tables as T
+from custom_alphazero_tpu.envs.chess.engine import Chess
+from custom_alphazero_tpu.tools.perft import perft
+
+ENV = Chess()
+STEP = jax.jit(ENV.step)
+
+
+def legal_ucis(state):
+    mask = np.asarray(state.legal & ~state.terminal)
+    return {T.ACTION_UCI[i] for i in np.nonzero(mask)[0]}
+
+
+def play_canonical(state, uci):
+    """Step with a canonical-orientation UCI move."""
+    return STEP(state, jnp.int32(T.ACTION_INDEX[uci]))
+
+
+class GameDriver:
+    """Track absolute (white's view) UCIs over the canonical engine: black's
+    absolute moves are rank-mirrored into the canonical frame
+    (reference Move.mirror, chess/move.py:57-69)."""
+
+    def __init__(self, state=None):
+        self.state = state if state is not None else ENV.init()
+        self.white_to_move = True
+
+    def push(self, absolute_uci):
+        uci = absolute_uci if self.white_to_move else T.mirror_uci(absolute_uci)
+        self.state, reward = play_canonical(self.state, uci)
+        self.white_to_move = not self.white_to_move
+        return float(reward)
+
+
+def test_action_table():
+    assert T.NUM_ACTIONS == 1968
+    for uci in ("e2e4", "e1g1", "e1c1", "a7a8q", "a7b8n", "h2g1r", "b1c3"):
+        assert uci in T.ACTION_INDEX
+
+
+def test_startpos_legal_moves():
+    state = ENV.init()
+    moves = legal_ucis(state)
+    assert len(moves) == 20
+    assert {"e2e4", "e2e3", "b1c3", "g1f3", "a2a3", "h2h4"} <= moves
+    assert "e1g1" not in moves
+
+
+KNOWN_PERFTS = [
+    ("start", [20, 400, 8902]),
+    # Kiwipete (castling, pins, checks, promotions in tree).
+    ("r3k2r/p1ppqpb1/bn2pnp1/3PN3/1p2P3/2N2Q1p/PPPBBPPP/R3K2R w KQkq - 0 1",
+     [48, 2039]),
+    # Position 3 (en-passant pin on the rank).
+    ("8/2p5/3p4/KP5r/1R3p1k/8/4P1P1/8 w - - 0 1", [14, 191, 2812]),
+    # Position 4 (promotions, underpromotions, castling rights).
+    ("r3k2r/Pppp1ppp/1b3nbN/nP6/BBP1P3/q4N2/Pp1P2PP/R2Q1RK1 w kq - 0 1",
+     [6, 264, 9467]),
+    # Position 5.
+    ("rnbq1k1r/pp1Pbppp/2p5/8/2B5/8/PPP1NnPP/RNBQK2R w KQ - 1 8",
+     [44, 1486]),
+    # Position 4 "mirrored" — black to move exercises canonicalization.
+    ("r2q1rk1/pP1p2pp/Q4n2/bbp1p3/Np6/1B3NBn/pPPP1PPP/R3K2R b KQ - 0 1",
+     [6, 264, 9467]),
+]
+
+
+@pytest.mark.parametrize("fen,counts", KNOWN_PERFTS,
+                         ids=[f[0][:18] for f in KNOWN_PERFTS])
+def test_perft(fen, counts):
+    root = ENV.init() if fen == "start" else ENV.from_fen(fen)
+    for depth, want in enumerate(counts, start=1):
+        assert perft(ENV, root, depth) == want, f"{fen} depth {depth}"
+
+
+@pytest.mark.slow
+def test_perft_deep():
+    assert perft(ENV, ENV.init(), 4) == 197_281
+    kiwi = ENV.from_fen(
+        "r3k2r/p1ppqpb1/bn2pnp1/3PN3/1p2P3/2N2Q1p/PPPBBPPP/R3K2R w KQkq - 0 1"
+    )
+    assert perft(ENV, kiwi, 3) == 97_862
+
+
+def test_fools_mate():
+    game = GameDriver()
+    assert game.push("f2f3") == 0.0
+    assert game.push("e7e5") == 0.0
+    assert game.push("g2g4") == 0.0
+    reward = game.push("d8h4")  # Qh4# — mate delivered by black
+    assert reward == 1.0
+    assert bool(game.state.terminal) and bool(game.state.won)
+    assert float(ENV.terminal_value(game.state)) == -1.0
+    assert not legal_ucis(game.state)
+
+
+def test_stalemate():
+    # Black to move, Kh8 vs Qf7+Kg6: no moves, not in check.
+    state = ENV.from_fen("7k/5Q2/6K1/8/8/8/8/8 b - - 0 1")
+    assert bool(state.terminal)
+    assert not bool(state.won)
+    assert float(ENV.terminal_value(state)) == 0.0
+
+
+def test_en_passant_capture():
+    state = ENV.from_fen("k7/8/8/3pP3/8/8/8/K7 w - d6 0 2")
+    assert "e5d6" in legal_ucis(state)
+    after, reward = play_canonical(state, "e5d6")
+    # Captured pawn removed: the board (now mirrored) holds only 3 pieces.
+    assert int(np.sum(np.asarray(after.board) != 0)) == 3
+    assert float(reward) == 0.0
+
+
+def test_en_passant_rank_pin_illegal():
+    # Capturing b5xc6 ep would strip both pawns off rank 5, exposing Ka5 to
+    # the h5 rook — must be excluded by king safety.
+    state = ENV.from_fen("7k/8/8/KPp4r/8/8/8/8 w - c6 0 2")
+    assert "b5c6" not in legal_ucis(state)
+    assert "b5b6" in legal_ucis(state)
+
+
+def test_capture_promotion_actions():
+    # a7 pawn: a8 is blocked by a rook; capture-promotions on b8 are legal
+    # (the reference's action table omitted these — fixed here). King on e1:
+    # off the a-file, so the capture doesn't expose it to the a8 rook.
+    state = ENV.from_fen("rn5k/P7/8/8/8/8/8/4K3 w - - 0 1")
+    moves = legal_ucis(state)
+    assert {"a7b8q", "a7b8n", "a7b8r", "a7b8b"} <= moves
+    assert "a7a8q" not in moves
+    after, _ = play_canonical(state, "a7b8q")
+    # Mirrored board: our promoted queen on b8 (rank 7) lands at rank 0 as -Q.
+    assert int(np.asarray(after.board)[0, 1]) == -T.QUEEN
+
+
+def test_castling_rules():
+    base = "4k3/8/8/8/8/8/8/R3K2R w KQ - 0 1"
+    state = ENV.from_fen(base)
+    moves = legal_ucis(state)
+    assert {"e1g1", "e1c1"} <= moves
+    after, _ = play_canonical(state, "e1g1")
+    board = np.asarray(after.board)
+    # After mirroring, the castled king/rook appear on rank 7 as -K/-R.
+    assert board[7, 6] == -T.KING and board[7, 5] == -T.ROOK
+    # In check: castling forbidden.
+    state = ENV.from_fen("4k3/8/8/8/8/8/4r3/R3K2R w KQ - 0 1")
+    moves = legal_ucis(state)
+    assert "e1g1" not in moves and "e1c1" not in moves
+    # Crossing an attacked square (f1 by the f-file rook): kingside only.
+    state = ENV.from_fen("4k3/8/8/8/8/5r2/8/R3K2R w KQ - 0 1")
+    moves = legal_ucis(state)
+    assert "e1g1" not in moves and "e1c1" in moves
+    # No rights: no castling.
+    state = ENV.from_fen("4k3/8/8/8/8/8/8/R3K2R w - - 0 1")
+    moves = legal_ucis(state)
+    assert "e1g1" not in moves and "e1c1" not in moves
+
+
+def test_castling_rights_lost_on_rook_capture():
+    state = ENV.from_fen("r3k2r/8/8/8/8/8/6B1/4K3 w kq - 0 1")
+    after, _ = play_canonical(state, "g2a8")
+    rights = np.asarray(after.castling)  # [own_k, own_q, opp_k, opp_q] for black
+    assert rights[0] and not rights[1]  # kingside kept, queenside lost
+
+
+def test_insufficient_material_draw():
+    state = ENV.from_fen("8/8/8/4k3/8/8/8/K7 w - - 0 1")
+    assert bool(state.terminal) and not bool(state.won)
+    state = ENV.from_fen("8/8/8/4kn2/8/8/8/K7 w - - 0 1")
+    assert bool(state.terminal)
+    state = ENV.from_fen("8/8/8/4kr2/8/8/8/K7 w - - 0 1")
+    assert not bool(state.terminal)
+
+
+def test_threefold_repetition():
+    game = GameDriver(ENV.from_fen("k7/8/8/8/8/8/R7/K7 w - - 0 1"))
+    # Shuffle rooks/kings back and forth until the start position recurs 3x.
+    for _ in range(2):
+        for uci in ("a2b2", "a8b8", "b2a2", "b8a8"):
+            game.push(uci)
+        if bool(game.state.terminal):
+            break
+    assert bool(game.state.terminal) and not bool(game.state.won)
+
+
+def test_observation_shape_and_planes():
+    state = ENV.init()
+    obs = np.asarray(jax.jit(ENV.observe)(state))
+    assert obs.shape == (8, 8, 118)
+    # Current position planes: own pawns on rank 1 -> one-hot channel 1+6=7.
+    assert obs[1, 0, T.PAWN + 6] == 1.0
+    assert obs[0, 4, T.KING + 6] == 1.0
+    assert obs[7, 4, -T.KING + 6] == 1.0
+    # Castling planes all ones at start.
+    assert (obs[..., 112:116] == 1.0).all()
+
+
+def test_vmapped_batch():
+    init = jax.vmap(lambda _: ENV.init())(jnp.arange(4))
+    acts = jnp.asarray([T.ACTION_INDEX[u] for u in ("e2e4", "d2d4", "g1f3", "b2b3")])
+    stepped, rewards = jax.jit(jax.vmap(ENV.step))(init, acts)
+    assert stepped.board.shape == (4, 8, 8)
+    assert (np.asarray(rewards) == 0).all()
+    masks = np.asarray(stepped.legal)
+    assert (masks.sum(-1) == 20).all()  # black has 20 replies to any of these
