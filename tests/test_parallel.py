@@ -1,0 +1,157 @@
+"""Multi-device sharding on the virtual 8-CPU mesh (SURVEY.md §4(d)):
+data-parallel train step must match single-device math; self-play shards
+over the data axis; tp-sharded params keep the forward correct."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from custom_alphazero_tpu.config import (
+    ConnectNConfig,
+    MCTSConfig,
+    MeshConfig,
+    ModelConfig,
+    SelfPlayConfig,
+)
+from custom_alphazero_tpu.envs.connect_n import ConnectN
+from custom_alphazero_tpu.models.policy_value import PolicyValueNet
+from custom_alphazero_tpu.parallel.mesh import (
+    data_sharding,
+    local_batch_size,
+    make_mesh,
+    shard_batch,
+    shard_params,
+)
+from custom_alphazero_tpu.runtime.selfplay import make_selfplay_fn
+from custom_alphazero_tpu.runtime.train import (
+    init_train_state,
+    make_evaluate_fn,
+    make_train_step,
+)
+
+ENV = ConnectN(ConnectNConfig())
+A = ENV.num_actions
+SMALL = ModelConfig(depth=1, filters=8, value_hidden=16)
+
+
+def test_mesh_shapes():
+    assert len(jax.devices()) == 8
+    mesh = make_mesh(MeshConfig())
+    assert mesh.shape == {"data": 8, "model": 1}
+    mesh = make_mesh(MeshConfig(data_parallelism=4, model_parallelism=2))
+    assert mesh.shape == {"data": 4, "model": 2}
+    with pytest.raises(ValueError):
+        make_mesh(MeshConfig(data_parallelism=8, model_parallelism=2))
+    assert local_batch_size(256, mesh) == 64
+    with pytest.raises(ValueError):
+        local_batch_size(255, mesh)
+
+
+def _batch(rng, n=64):
+    obs = jnp.asarray(rng.random((n,) + ENV.obs_shape), jnp.float32)
+    pi = jax.nn.softmax(jnp.asarray(rng.random((n, A)), jnp.float32), -1)
+    z = jnp.asarray(rng.choice([-1.0, 1.0], n), jnp.float32)
+    return obs, pi, z
+
+
+def test_dp_train_step_matches_single_device():
+    # fp32 compute: isolates sharding semantics from bf16 rounding noise.
+    cfg32 = dataclasses.replace(SMALL, compute_dtype="float32")
+    net = PolicyValueNet(A, cfg32)
+    rng = np.random.default_rng(0)
+    obs, pi, z = _batch(rng)
+    ts_single = init_train_state(net, cfg32, jax.random.PRNGKey(0), ENV.obs_shape)
+    step = jax.jit(make_train_step(net, cfg32))
+    ref_state, ref_metrics = step(ts_single, obs, pi, z)
+
+    mesh_cfg = MeshConfig(data_parallelism=8, model_parallelism=1)
+    mesh = make_mesh(mesh_cfg)
+    ts_sharded = ts_single.replace(
+        params=shard_params(ts_single.params, mesh, mesh_cfg)
+    )
+    obs_s, pi_s, z_s = (shard_batch(x, mesh, mesh_cfg) for x in (obs, pi, z))
+    got_state, got_metrics = step(ts_sharded, obs_s, pi_s, z_s)
+
+    # Data-parallel gradients all-reduce to the same update (fp32 tolerance;
+    # the loss mean over 8 shards reassociates the sum).
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+        ),
+        jax.device_get(ref_state.params),
+        jax.device_get(got_state.params),
+    )
+    np.testing.assert_allclose(
+        float(ref_metrics.loss), float(got_metrics.loss), rtol=1e-4
+    )
+
+
+def test_tp_sharded_dense_forward_matches():
+    cfg = dataclasses.replace(SMALL, value_hidden=16)
+    net = PolicyValueNet(A, cfg)
+    variables = net.init(
+        jax.random.PRNGKey(1), jnp.zeros((1,) + ENV.obs_shape), train=False
+    )
+    obs = jnp.asarray(np.random.default_rng(1).random((32,) + ENV.obs_shape),
+                      jnp.float32)
+    f = jax.jit(lambda v, o: net.apply(v, o, train=False))
+    ref_logits, ref_value = jax.device_get(f(variables, obs))
+
+    mesh_cfg = MeshConfig(data_parallelism=4, model_parallelism=2)
+    mesh = make_mesh(mesh_cfg)
+    sharded_vars = {
+        "params": shard_params(variables["params"], mesh, mesh_cfg),
+        "batch_stats": variables.get("batch_stats", {}),
+    }
+    obs_s = shard_batch(obs, mesh, mesh_cfg)
+    got_logits, got_value = jax.device_get(f(sharded_vars, obs_s))
+    np.testing.assert_allclose(ref_logits, got_logits, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(ref_value, got_value, rtol=1e-4, atol=1e-5)
+    # At least one dense kernel actually carries a model-axis sharding.
+    specs = [
+        leaf.sharding.spec
+        for leaf in jax.tree.leaves(sharded_vars["params"])
+        if hasattr(leaf, "sharding") and leaf.ndim == 2
+    ]
+    assert any("model" in str(spec) for spec in specs)
+
+
+def test_sharded_selfplay_runs_and_matches_semantics():
+    mesh_cfg = MeshConfig(data_parallelism=8, model_parallelism=1)
+    mesh = make_mesh(mesh_cfg)
+    sp = make_selfplay_fn(
+        ENV, MCTSConfig(simulations=8), SelfPlayConfig(exclude_draws=False),
+        max_plies=42,
+    )
+
+    def uniform_eval(obs):
+        return jnp.ones((obs.shape[0], A)) / A, jnp.zeros((obs.shape[0],))
+
+    gen = jax.jit(lambda k: sp(uniform_eval, k, 32))
+    batch, stats = gen(jax.random.PRNGKey(0))
+    # Re-run with the PRNG key placed on the mesh: games shard over `data`.
+    batch_sharding = NamedSharding(mesh, P("data"))
+
+    @jax.jit
+    def gen_sharded(k):
+        out, st = sp(uniform_eval, k, 32)
+        out = jax.tree.map(
+            lambda x: jax.lax.with_sharding_constraint(
+                x, NamedSharding(mesh, P(*([None] * x.ndim)))
+            ) if x.ndim == 0 else x,
+            out,
+        )
+        return out, st
+
+    batch_s, stats_s = gen_sharded(jax.random.PRNGKey(0))
+    assert int(stats.games) == int(stats_s.games) == 32
+    np.testing.assert_array_equal(
+        np.asarray(batch.valid), np.asarray(batch_s.valid)
+    )
+    np.testing.assert_allclose(
+        np.asarray(batch.value), np.asarray(batch_s.value)
+    )
