@@ -15,12 +15,23 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+
+def _sync(x):
+    """Force completion: on the experimental TPU-tunnel backend,
+    block_until_ready can return before execution finishes — a host
+    transfer is the only reliable barrier."""
+    return np.asarray(x)
 
 from custom_alphazero_tpu.config import ConnectNConfig, MCTSConfig, ModelConfig
 from custom_alphazero_tpu.envs.connect_n import ConnectN
 from custom_alphazero_tpu.models.policy_value import PolicyValueNet
 from custom_alphazero_tpu.runtime.train import make_evaluate_fn
 from custom_alphazero_tpu.search.mcts import MCTS
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 SIMS = 64
 NET = ModelConfig(depth=2, filters=32, value_hidden=64)
@@ -79,23 +90,24 @@ def build(batch_size: int):
     return variables, rollout, init_states
 
 
-def measure(batch_size: int, plies: int) -> float:
+def measure(batch_size: int, plies: int, iters: int = 2) -> float:
     variables, rollout, states = build(batch_size)
     params, batch_stats = variables["params"], variables.get("batch_stats", {})
     rng = jax.random.PRNGKey(1)
-    # Warmup (compile).
-    out = rollout(params, batch_stats, states, rng, 2)
-    jax.block_until_ready(out.board)
+    # Warmup with the SAME static plies (each distinct value recompiles).
+    out = rollout(params, batch_stats, states, rng, plies)
+    _sync(out.board)
     t0 = time.perf_counter()
-    out = rollout(params, batch_stats, out, rng, plies)
-    jax.block_until_ready(out.board)
-    dt = time.perf_counter() - t0
+    for i in range(iters):
+        out = rollout(params, batch_stats, out, jax.random.PRNGKey(i), plies)
+        _sync(out.board)
+    dt = (time.perf_counter() - t0) / iters
     return batch_size * plies * SIMS / dt
 
 
 def main():
     best = (0.0, None)
-    for batch_size in (1024, 2048, 4096, 8192):
+    for batch_size in (4096, 8192):
         try:
             rate = measure(batch_size, plies=4)
         except Exception as exc:  # noqa: BLE001 — OOM etc: skip size
@@ -105,7 +117,7 @@ def main():
         if rate > best[0]:
             best = (rate, batch_size)
     # Confirmation run at the best size, longer.
-    rate = measure(best[1], plies=12)
+    rate = measure(best[1], plies=16)
     rate = max(rate, best[0])
     print(json.dumps({
         "metric": "mcts_simulations_per_second_per_chip_connect4",

@@ -27,6 +27,7 @@ independent NumPy twin, tests/reference_numpy.py):
 from __future__ import annotations
 
 from flax import struct
+import jax
 import jax.numpy as jnp
 
 from custom_alphazero_tpu.config import ConnectNConfig
@@ -51,31 +52,32 @@ class ConnectNState:
     won: jnp.ndarray
 
 
-def _shift(plane: jnp.ndarray, dr: int, dc: int) -> jnp.ndarray:
-    """Shift a (..., H, W) bool plane by (dr, dc), zero-filling borders."""
-    h, w = plane.shape[-2], plane.shape[-1]
-    out = jnp.zeros_like(plane)
-    dst_r = slice(max(dr, 0), h + min(dr, 0))
-    dst_c = slice(max(dc, 0), w + min(dc, 0))
-    src_r = slice(max(-dr, 0), h + min(-dr, 0))
-    src_c = slice(max(-dc, 0), w + min(-dc, 0))
-    return out.at[..., dst_r, dst_c].set(plane[..., src_r, src_c])
-
-
 def has_line(plane: jnp.ndarray, n: int) -> jnp.ndarray:
-    """True if the bool plane (..., H, W) contains n-in-a-row in any of the
-    4 direction families (reference update_game_over walk, board.py:178-208).
+    """True if the bool plane (H, W) contains n-in-a-row in any of the 4
+    direction families (reference update_game_over walk, board.py:178-208).
 
-    Pure VPU work: (n-1)*4 shifted ANDs + a reduce; trivially batchable.
+    Implemented as three small VALID convolutions (horizontal (1,n),
+    vertical (n,1), both diagonals stacked as an (n,n,1,2) kernel): a
+    handful of MXU-friendly ops instead of ~4n shifted-AND ops — the step
+    function sits in the MCTS hot loop where op count is the cost. Sums of
+    up to n fit exactly in bfloat16. vmap lifts the conv over game batches.
     """
-    # Directions as (drow, dcol): vertical, horizontal, both diagonals.
-    wins = []
-    for dr, dc in ((1, 0), (0, 1), (1, 1), (1, -1)):
-        acc = plane
-        for i in range(1, n):
-            acc = acc & _shift(plane, -i * dr, -i * dc)
-        wins.append(jnp.any(acc, axis=(-2, -1)))
-    return jnp.stack(wins, axis=0).any(axis=0)
+    x = plane.astype(jnp.bfloat16)[None, :, :, None]  # NHWC, batch 1
+    eye = jnp.eye(n, dtype=jnp.bfloat16)
+    kernels = (
+        jnp.ones((1, n, 1, 1), jnp.bfloat16),
+        jnp.ones((n, 1, 1, 1), jnp.bfloat16),
+        jnp.stack([eye, jnp.flip(eye, 0)], axis=-1)[:, :, None, :],  # (n,n,1,2)
+    )
+    threshold = jnp.bfloat16(n) - 0.5
+    hit = jnp.bool_(False)
+    for kernel in kernels:
+        y = jax.lax.conv_general_dilated(
+            x, kernel, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        hit = hit | jnp.any(y > threshold)
+    return hit
 
 
 class ConnectN(core.Env):
@@ -132,6 +134,27 @@ class ConnectN(core.Env):
         )
         reward = jnp.where(keep, 0.0, reward)
         return next_state, reward
+
+    def step_lite(self, state: ConnectNState, action: jnp.ndarray) -> ConnectNState:
+        """Descent-path step: place + mirror + bookkeeping, no win detection
+        (the search tree stores terminal flags; see core.Env.step_lite)."""
+        cfg = self.cfg
+        action = action.astype(jnp.int32)
+        if cfg.gravity:
+            col = action
+            row = cfg.height - 1 - state.heights[col]
+        else:
+            col = action // cfg.height
+            row = action % cfg.height
+        row = jnp.clip(row, 0, cfg.height - 1)
+        placed = state.board.at[row, col].set(jnp.int8(1))
+        return ConnectNState(
+            board=-placed,
+            heights=state.heights.at[col].add(1) if cfg.gravity else state.heights,
+            fullmove=state.fullmove + 1,
+            terminal=jnp.bool_(False),
+            won=jnp.bool_(False),
+        )
 
     def legal_mask(self, state: ConnectNState) -> jnp.ndarray:
         cfg = self.cfg

@@ -48,6 +48,17 @@ class Env:
         """Apply action; returns (next_state, reward-for-mover)."""
         raise NotImplementedError
 
+    def step_lite(self, state: EnvState, action: jnp.ndarray) -> EnvState:
+        """Apply action maintaining only what a subsequent ``step`` or
+        ``observe`` needs (board, side bookkeeping, history) — terminal
+        detection and legality analysis may be skipped and left stale.
+
+        Used in the MCTS select descent, where the tree already stores each
+        node's terminal status and the carried state is only ever (a) fully
+        re-stepped at the leaf or (b) observed; never consulted for
+        terminal/legal bits. Default: the full step."""
+        return self.step(state, action)[0]
+
     def legal_mask(self, state: EnvState) -> jnp.ndarray:
         """(num_actions,) bool mask over the fixed action space."""
         raise NotImplementedError

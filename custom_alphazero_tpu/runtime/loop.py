@@ -162,7 +162,7 @@ def _visualize_tree(learner, best, generation, results_dir, game, run_id):
         paths.self_play_iteration_path(results_dir, game, run_id, generation),
         f"mcts_tree_iteration_{generation}",
     )
-    save_tree(tree, out, c_puct=cfg.mcts.c_puct)
+    save_tree(tree, learner.env, out, c_puct=cfg.mcts.c_puct)
 
 
 def run(cfg: Config, generations: Optional[int] = None) -> dict:

@@ -34,8 +34,26 @@ def _board_label(board: np.ndarray) -> str:
     return "\\n".join(rows)
 
 
+def _replay_boards(env, t: Tree, n_alloc: int) -> np.ndarray:
+    """Reconstruct each node's board by replaying parent-action chains from
+    the root (nodes are created parent-first, so one ascending pass
+    suffices); the tree stores no per-node states by design."""
+    import jax.numpy as jnp
+
+    step = jax.jit(env.step)
+    states = [jax.tree.map(jnp.asarray, t.root_state)]
+    boards = [np.asarray(t.root_state.board)]
+    for i in range(1, n_alloc):
+        parent = int(t.parent[i])
+        child, _ = step(states[parent], jnp.int32(t.parent_action[i]))
+        states.append(child)
+        boards.append(np.asarray(child.board))
+    return np.stack(boards)
+
+
 def tree_to_dot(
     tree: Tree,
+    env,
     game_index: int = 0,
     c_puct: float = 1.5,
     min_visits: int = 1,
@@ -50,8 +68,9 @@ def tree_to_dot(
     both renders, visualize_mcts.py:107-117).
     """
     t = jax.tree.map(lambda leaf: np.asarray(leaf[game_index]), tree)
-    boards = np.asarray(t.states.board)
     n_alloc = int(t.node_count)
+    boards = _replay_boards(env, t, n_alloc)
+    a_count = env.num_actions
 
     lines = [
         "digraph MCTS {",
@@ -69,13 +88,15 @@ def tree_to_dot(
         lines.append(f'  n{i} [label="{label}{extra}"];')
 
     # BFS from the root (reference _breadth_first_edges, :37-48).
+    children_flat = t.children.reshape(-1, a_count)
+    priors_flat = t.prior.reshape(-1, a_count)
     queue = [0]
     visited = {0}
     while queue and len(emitted) < max_nodes:
         node = queue.pop(0)
         if not t.expanded[node]:
             continue
-        children = t.children[node]
+        children = children_flat[node]
         child_visits = np.where(
             children >= 0, t.visits[np.maximum(children, 0)], 0
         )
@@ -89,7 +110,7 @@ def tree_to_dot(
             if nv < min_visits and not is_played:
                 continue
             q = float(t.value_sum[child]) / nv if nv else 0.0
-            p = float(t.prior[node, action])
+            p = float(priors_flat[node, action])
             u = c_puct * p * sqrt_total / (1 + nv)
             share = nv / total if total else 0.0
             emit_node(node)
@@ -112,6 +133,7 @@ def tree_to_dot(
 
 def save_tree(
     tree: Tree,
+    env,
     path: str,
     game_index: int = 0,
     render_pdf: bool = True,
@@ -119,7 +141,7 @@ def save_tree(
 ) -> str:
     """Write `<path>.dot` (and `<path>.pdf` when graphviz is available,
     mirroring save_as_pdf, visualize_mcts.py:130-137). Returns the DOT path."""
-    dot = tree_to_dot(tree, game_index, **kwargs)
+    dot = tree_to_dot(tree, env, game_index, **kwargs)
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     dot_path = path + ".dot"
     with open(dot_path, "w") as fp:

@@ -79,10 +79,11 @@ def play_random_board(seed, plies):
 
 
 @pytest.mark.parametrize("sims", [8, 30])
-def test_parity_uniform_eval(sims):
+@pytest.mark.parametrize("dense", [True, False], ids=["dense", "gather"])
+def test_parity_uniform_eval(sims, dense):
     boards = [play_random_board(seed, seed % 5) for seed in range(4)]
     roots = batched_roots(boards)
-    mcts = MCTS(ENV, MCTSConfig())
+    mcts = MCTS(ENV, MCTSConfig(), dense=dense)
     run = jax.jit(
         lambda rs, k: mcts.search(rs, uniform_eval_batch, k, sims),
         static_argnames=(),
