@@ -181,12 +181,28 @@ def run(cfg: Config, generations: Optional[int] = None) -> dict:
     train_state, replay = learner.init_state(k_init)
     training_dir = paths.training_path(results_dir, game, run_id)
     if checkpoint_exists(training_dir):
-        train_state, meta = load_checkpoint(training_dir, train_state)
-        print(f"Resumed training state at step {meta['steps']}")
+        train_state, meta, saved_replay = load_checkpoint(
+            training_dir, train_state, replay
+        )
+        if saved_replay is not None:
+            replay = saved_replay
+        print(f"Resumed training state at step {meta['steps']} "
+              f"(replay={int(jax.device_get(replay.size))})")
 
     # Best params start as the candidate's (the reference serves a
-    # random-weight model until the first promotion, serving/api/main.py:26).
+    # random-weight model until the first promotion, serving/api/main.py:26);
+    # on resume, reload the newest promoted lineage checkpoint
+    # (reference best_saved_model, utils.py:64-78).
     best = (train_state.params, train_state.batch_stats)
+    from custom_alphazero_tpu.io.checkpoint import latest_evaluation_iteration
+
+    latest_best = latest_evaluation_iteration(
+        paths.evaluation_path(results_dir, game, run_id)
+    )
+    if latest_best is not None:
+        best_state, _ = load_checkpoint(latest_best[1], train_state)
+        best = (best_state.params, best_state.batch_stats)
+        print(f"Restored best model from iteration {latest_best[0]}")
 
     metrics = MetricsWriter(paths.tensorboard_path(results_dir, game, run_id))
     iteration = int(train_state.steps)
@@ -281,16 +297,38 @@ def run(cfg: Config, generations: Optional[int] = None) -> dict:
                         f"{int(result.draws)}) promoted={promoted}"
                     )
                     metrics.scalar("evaluation/winning_score", score, iteration)
+                    if (cfg.arena.evaluate_with_solver
+                            and cfg.game == "connect_n"
+                            and cfg.connect_n == type(cfg.connect_n)()):
+                        # Oracle-scored candidate moves (reference
+                        # evaluate.py:53-59; default 7x6 board only — the
+                        # native solver is compiled for it).
+                        from custom_alphazero_tpu.tools.strength import (
+                            score_arena_log,
+                        )
+
+                        solver_score = score_arena_log(
+                            jax.device_get(result.log)
+                        )
+                        print(f"[iter {iteration}] solver score="
+                              f"{solver_score:.3f}")
+                        metrics.scalar(
+                            "evaluation/solver_score", solver_score, iteration
+                        )
                     if promoted:
                         best = (train_state.params, train_state.batch_stats)
                         summary["promotions"] += 1
-                    # The winner's weights land in evaluation/iteration_N
-                    # (reference train.py(model):93-102 saves either way).
+                    # The *winner*'s weights land in evaluation/iteration_N —
+                    # the candidate when promoted, the incumbent otherwise
+                    # (reference model/tensorflow/train.py:92-102).
+                    winner_state = train_state.replace(
+                        params=best[0], batch_stats=best[1]
+                    )
                     save_checkpoint(
                         paths.evaluation_iteration_path(
                             results_dir, game, run_id, iteration
                         ),
-                        train_state,
+                        winner_state,
                         float(learner.schedule(train_state.steps)),
                     )
         generation += 1

@@ -1,0 +1,179 @@
+"""Strength evaluation against the exact-solver oracle.
+
+Implements the reference's solver-scored evaluation
+(/root/reference/custom_alphazero/evaluation/evaluate.py:53-59: each
+candidate move scored 1 - (rank+1)/num_legal against the perfect ranking)
+and the BASELINE "move-accuracy vs oracle" metric: the fraction of moves
+that are solver-optimal (same best game-theoretic value).
+
+Works over positions drawn from self-play-style rollouts: play games with
+the policy under test (raw network argmax or full MCTS), and score every
+move of the tested player on the host through the native solver.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from custom_alphazero_tpu import solver as sv
+from custom_alphazero_tpu.config import MCTSConfig
+from custom_alphazero_tpu.envs.connect_n import ConnectN
+from custom_alphazero_tpu.search.mcts import MCTS
+
+
+def evaluate_strength(
+    env: ConnectN,
+    evaluate_fn: Callable,
+    num_games: int = 20,
+    use_mcts: bool = True,
+    mcts_cfg: MCTSConfig = MCTSConfig(simulations=64),
+    opponent: str = "random",
+    seed: int = 0,
+    max_positions: Optional[int] = None,
+    solver: Optional[sv.ConnectFourSolver] = None,
+    opening_plies: int = 8,
+) -> dict:
+    """Play games (tested policy as first mover vs an opponent) and score
+    the tested policy's moves with the solver.
+
+    opening_plies: random opening moves played by both sides before the
+    policies take over — solver queries on near-empty boards take minutes
+    without an opening book, so scoring starts midgame (even plies keep the
+    tested policy as the nominal first mover).
+
+    Returns {move_accuracy, mean_rank_score, blunders, positions, results}:
+    - move_accuracy: fraction of moves whose child value equals the best
+      child's game-theoretic value (value-optimal moves);
+    - mean_rank_score: reference metric 1 - (rank+1)/num_legal averaged;
+    - blunders: value-category drops (win->draw/loss or draw->loss);
+    - results: +1/0/-1 game outcomes for the tested policy.
+    """
+    solver = solver or sv.ConnectFourSolver()
+    mcts = MCTS(env, mcts_cfg)
+    rng = np.random.default_rng(seed)
+
+    search = jax.jit(
+        lambda s, k: mcts.root_child_visits(
+            mcts.search(s, evaluate_fn, k, mcts_cfg.simulations)
+        )
+    )
+    policy_only = jax.jit(
+        lambda o: evaluate_fn(o)
+    )
+    step = jax.jit(env.step)
+
+    opening_plies -= opening_plies % 2  # keep tested side on even plies
+    accs, rank_scores, blunders, results = [], [], 0, []
+    positions = 0
+    for game in range(num_games):
+        state = env.init()
+        ply = 0
+        while ply < opening_plies and not bool(state.terminal):
+            legal = np.nonzero(np.asarray(env.legal_mask(state)))[0]
+            state, _ = step(state, jnp.int32(int(rng.choice(legal))))
+            ply += 1
+        while not bool(state.terminal):
+            board = np.asarray(state.board)
+            if ply % 2 == 0:  # tested policy to move
+                if use_mcts:
+                    batched = jax.tree.map(lambda l: l[None], state)
+                    visits = np.asarray(
+                        search(batched, jax.random.PRNGKey(seed * 7919 + game * 101 + ply))
+                    )[0]
+                    action = int(visits.argmax())
+                else:
+                    obs = np.asarray(env.observe(state))[None]
+                    probs = np.asarray(policy_only(jnp.asarray(obs))[0])[0]
+                    mask = np.asarray(env.legal_mask(state))
+                    probs = np.where(mask, probs, -1.0)
+                    action = int(probs.argmax())
+                if max_positions is None or positions < max_positions:
+                    legal = sv.legal_columns(board)
+                    # Child values in the mover's view: ending moves use the
+                    # ending value; others negate the child's score sign.
+                    child_vals = {}
+                    for col in legal:
+                        child, ended = sv.play_canonical(board, col)
+                        if ended:
+                            won = sv._board_has_win(-child)
+                            child_vals[col] = 1 if won else 0
+                        else:
+                            child_vals[col] = -int(np.sign(solver.solve_board(child)))
+                    best_value = max(child_vals.values())
+                    accs.append(1.0 if child_vals[action] == best_value else 0.0)
+                    rank_scores.append(solver.move_rank_score(board, action))
+                    if child_vals[action] < best_value:
+                        blunders += 1
+                    positions += 1
+            else:
+                legal = np.nonzero(np.asarray(env.legal_mask(state)))[0]
+                if opponent == "random":
+                    action = int(rng.choice(legal))
+                else:  # solver-perfect opponent
+                    ranked, _ = solver.ranked_moves_and_value(board)
+                    legal_cols = sv.legal_columns(board)
+                    action = legal_cols[int(ranked[0])]
+            state, _ = step(state, jnp.int32(action))
+            ply += 1
+        won = bool(state.won)
+        last_mover_tested = (ply - 1) % 2 == 0
+        results.append(1 if won and last_mover_tested else (-1 if won else 0))
+    return {
+        "move_accuracy": float(np.mean(accs)) if accs else 0.0,
+        "mean_rank_score": float(np.mean(rank_scores)) if rank_scores else 0.0,
+        "blunders": blunders,
+        "positions": positions,
+        "results": results,
+        "win_rate": float(np.mean([r == 1 for r in results])),
+    }
+
+
+def score_arena_log(log, min_ply: int = 8, max_positions: int = 200,
+                    seed: int = 0,
+                    solver: Optional[sv.ConnectFourSolver] = None) -> float:
+    """Solver-score the candidate's moves from an ArenaGameLog by replaying
+    the recorded actions (reference evaluate.py:53-59 semantics, computed
+    offline from the on-device log instead of per-move subprocess hops).
+
+    min_ply skips opening moves (near-empty solver queries take minutes
+    without a book — the reference leaned on its 7x6.book); a random sample
+    of at most max_positions candidate moves is scored."""
+    solver = solver or sv.ConnectFourSolver()
+    actions = np.asarray(log.actions)   # (T, B)
+    movers = np.asarray(log.movers)     # (T, B)
+    active = np.asarray(log.active)     # (T, B)
+    T, B = actions.shape
+    candidates = []  # (game, ply) of scoreable candidate moves
+    for g in range(B):
+        for t in range(min_ply, T):
+            if not active[t, g]:
+                break
+            if movers[t, g] == 0:
+                candidates.append((g, t))
+    rng = np.random.default_rng(seed)
+    if len(candidates) > max_positions:
+        picked = rng.choice(len(candidates), max_positions, replace=False)
+        chosen = {candidates[i] for i in picked}
+    else:
+        chosen = set(candidates)
+    by_game = {}
+    for g, t in chosen:
+        by_game.setdefault(g, set()).add(t)
+    scores = []
+    for g, plies in by_game.items():
+        board = np.zeros((6, 7), np.int8)
+        for t in range(T):
+            if not active[t, g]:
+                break
+            col = int(actions[t, g])
+            if t in plies:
+                try:
+                    scores.append(solver.move_rank_score(board, col))
+                except ValueError:
+                    pass
+            board, _ = sv.play_canonical(board, col)
+    return float(np.mean(scores)) if scores else 0.0
