@@ -85,5 +85,14 @@ def register(name: str, factory: Callable[..., Env]) -> None:
 
 def make(name: str, *args, **kwargs) -> Env:
     if name not in _REGISTRY:
+        # Heavy engines (chess precomputes attack tables, ~seconds) register
+        # lazily: import custom_alphazero_tpu.envs.<name> on first use.
+        import importlib
+
+        try:
+            importlib.import_module(f"custom_alphazero_tpu.envs.{name}")
+        except ImportError:
+            pass
+    if name not in _REGISTRY:
         raise KeyError(f"Unknown env {name!r}; available: {sorted(_REGISTRY)}")
     return _REGISTRY[name](*args, **kwargs)
