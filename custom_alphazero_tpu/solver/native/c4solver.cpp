@@ -16,11 +16,15 @@
 // total_plies_at_win) / 2 (win on the earliest stone scores highest); negative
 // symmetric for losses. Empty 7x6 board solves to +1.
 
+#include <algorithm>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <cstdlib>
 #include <chrono>
 #include <string>
+#include <unordered_map>
+#include <unordered_set>
 #include <vector>
 
 namespace c4 {
@@ -137,6 +141,101 @@ struct Position {
   }
 };
 
+// Reflect a bitboard left-right (column c <-> WIDTH-1-c).
+inline bb mirror_bits(bb x) {
+  bb r = 0;
+  for (int c = 0; c < WIDTH; ++c) {
+    bb col = (x >> (c * COL_BITS)) & ((bb(1) << COL_BITS) - 1);
+    r |= col << ((WIDTH - 1 - c) * COL_BITS);
+  }
+  return r;
+}
+
+// Canonical key under the left-right symmetry of the game.
+inline bb canonical_key(bb current, bb mask) {
+  bb k = current + mask + BOTTOM;
+  bb km = mirror_bits(current) + mirror_bits(mask) + BOTTOM;
+  return k < km ? k : km;
+}
+
+// Opening book: exact strong scores for every position up to a fixed depth,
+// keyed by the mirror-canonical position key. Replaces the capability of the
+// reference's vendored 7x6.book (a stripped large blob; loaded via the
+// PascalPons CLI's -b flag, c4_exact_solver.py:28-32) with a from-scratch
+// format: frontier positions at `depth` are solved exactly, interior scores
+// derive by negamax backup, entries are (uint64 key, int8 score) sorted.
+class Book {
+ public:
+  int depth = -1;  // max plies covered; -1 = no book loaded
+
+  bool load(const char* path) {
+    std::FILE* f = std::fopen(path, "rb");
+    if (!f) return false;
+    char magic[4];
+    uint8_t meta[4];
+    uint64_t count = 0;
+    if (std::fread(magic, 1, 4, f) != 4 || std::memcmp(magic, "C4BK", 4) ||
+        std::fread(meta, 1, 4, f) != 4 ||  // version, width, height, depth
+        meta[0] != 1 || meta[1] != WIDTH || meta[2] != HEIGHT ||
+        std::fread(&count, 8, 1, f) != 1) {
+      std::fclose(f);
+      return false;
+    }
+    keys_.resize(count);
+    scores_.resize(count);
+    bool ok = std::fread(keys_.data(), 8, count, f) == count &&
+              std::fread(scores_.data(), 1, count, f) == count;
+    std::fclose(f);
+    if (!ok) {
+      keys_.clear();
+      scores_.clear();
+      return false;
+    }
+    depth = meta[3];
+    return true;
+  }
+
+  bool save(const char* path) const {
+    std::FILE* f = std::fopen(path, "wb");
+    if (!f) return false;
+    uint8_t meta[4] = {1, WIDTH, HEIGHT, uint8_t(depth)};
+    uint64_t count = keys_.size();
+    bool ok = std::fwrite("C4BK", 1, 4, f) == 4 &&
+              std::fwrite(meta, 1, 4, f) == 4 &&
+              std::fwrite(&count, 8, 1, f) == 1 &&
+              std::fwrite(keys_.data(), 8, count, f) == count &&
+              std::fwrite(scores_.data(), 1, count, f) == count;
+    std::fclose(f);
+    return ok;
+  }
+
+  // Exact score if the position is in the book; INT_MIN-ish sentinel if not.
+  static constexpr int MISS = -128;
+  int probe(const Position& p) const {
+    bb key = canonical_key(p.current, p.mask);
+    auto it = std::lower_bound(keys_.begin(), keys_.end(), key);
+    if (it == keys_.end() || *it != key) return MISS;
+    return scores_[it - keys_.begin()];
+  }
+
+  void set_entries(std::vector<std::pair<bb, int8_t>>& entries, int d) {
+    std::sort(entries.begin(), entries.end());
+    keys_.resize(entries.size());
+    scores_.resize(entries.size());
+    for (size_t i = 0; i < entries.size(); ++i) {
+      keys_[i] = entries[i].first;
+      scores_[i] = entries[i].second;
+    }
+    depth = d;
+  }
+
+  size_t size() const { return keys_.size(); }
+
+ private:
+  std::vector<bb> keys_;
+  std::vector<int8_t> scores_;
+};
+
 // Transposition table of score upper bounds: fixed-size, lossy overwrite.
 // The entry count must be coprime with 2^32 (prime here) so that storing the
 // truncated 32-bit key is collision-free by the Chinese remainder theorem:
@@ -178,6 +277,9 @@ class Solver {
   // cannot win this ply (checked by callers) and nobody has won yet.
   int negamax(const Position& p, int alpha, int beta) {
     ++nodes;
+    if (book_ && p.moves <= book_->depth) {
+      if (int s = book_->probe(p); s != Book::MISS) return s;
+    }
     bb next = p.possible_non_losing_moves();
     if (next == 0)  // every move loses
       return -(AREA - p.moves) / 2;
@@ -233,6 +335,9 @@ class Solver {
 
   // Full-strength solve with iterative null-window narrowing.
   int solve(const Position& p) {
+    if (book_ && p.moves <= book_->depth) {
+      if (int s = book_->probe(p); s != Book::MISS) return s;
+    }
     if (p.can_win_now()) return (AREA + 1 - p.moves) / 2;
     int min = -(AREA - p.moves) / 2;
     int max = (AREA + 1 - p.moves) / 2;
@@ -249,10 +354,74 @@ class Solver {
 
   void reset() { table_.reset(); }
 
+  void set_book(const Book* book) { book_ = book; }
+
  private:
   static constexpr int ORDER[WIDTH] = {3, 2, 4, 1, 5, 0, 6};
   Table table_;
+  const Book* book_ = nullptr;
 };
+
+// Build a depth-D book: BFS-enumerate the mirror-canonical reachable
+// positions level by level, exactly solve only the depth-D frontier (one
+// shared transposition table across solves), then derive every interior
+// score by pure negamax backup over the level below.
+inline Book* generate_book(int depth, bool verbose = false) {
+  std::vector<std::vector<Position>> levels(depth + 1);
+  std::unordered_set<bb> seen;
+  levels[0].push_back(Position{});
+  seen.insert(canonical_key(0, 0));
+  for (int d = 0; d < depth; ++d) {
+    for (const Position& p : levels[d]) {
+      for (int col = 0; col < WIDTH; ++col) {
+        if (!p.can_play(col) || p.is_winning_move(col)) continue;
+        Position q = p;
+        q.play(col);
+        bb key = canonical_key(q.current, q.mask);
+        if (seen.insert(key).second) levels[d + 1].push_back(q);
+      }
+    }
+    if (verbose)
+      std::fprintf(stderr, "book: depth %d has %zu canonical positions\n",
+                   d + 1, levels[d + 1].size());
+  }
+
+  // Scores per level, keyed by canonical key.
+  std::vector<std::unordered_map<bb, int>> scores(depth + 1);
+  Solver solver;
+  size_t done = 0;
+  for (const Position& p : levels[depth]) {
+    scores[depth][canonical_key(p.current, p.mask)] = solver.solve(p);
+    if (verbose && ++done % 1000 == 0)
+      std::fprintf(stderr, "book: frontier %zu/%zu (%llu nodes)\n", done,
+                   levels[depth].size(), (unsigned long long)solver.nodes);
+  }
+  for (int d = depth - 1; d >= 0; --d) {
+    for (const Position& p : levels[d]) {
+      int best = -AREA;
+      for (int col = 0; col < WIDTH; ++col) {
+        if (!p.can_play(col)) continue;
+        int cand;
+        if (p.is_winning_move(col)) {
+          cand = (AREA + 1 - p.moves) / 2;  // earliest win = max score
+        } else {
+          Position q = p;
+          q.play(col);
+          cand = -scores[d + 1].at(canonical_key(q.current, q.mask));
+        }
+        if (cand > best) best = cand;
+      }
+      scores[d][canonical_key(p.current, p.mask)] = best;
+    }
+  }
+
+  std::vector<std::pair<bb, int8_t>> entries;
+  for (auto& level : scores)
+    for (auto& [key, score] : level) entries.emplace_back(key, int8_t(score));
+  Book* book = new Book();
+  book->set_entries(entries, depth);
+  return book;
+}
 
 // Parse a 1-indexed move string ("4453..."); returns false on illegal input
 // or if the game already ended mid-sequence.
@@ -312,20 +481,77 @@ uint64_t c4_nodes(void* solver) {
   return static_cast<c4::Solver*>(solver)->nodes;
 }
 
+// Load an opening book and attach it to the solver; returns the book depth,
+// or -1 on failure. The book handle is owned by the solver wrapper side:
+// call c4_book_free when done (after freeing the solver).
+void* c4_book_load(const char* path) {
+  auto* book = new c4::Book();
+  if (!book->load(path)) {
+    delete book;
+    return nullptr;
+  }
+  return book;
+}
+
+void c4_book_free(void* book) { delete static_cast<c4::Book*>(book); }
+
+int c4_book_depth(void* book) { return static_cast<c4::Book*>(book)->depth; }
+
+uint64_t c4_book_size(void* book) {
+  return static_cast<c4::Book*>(book)->size();
+}
+
+void c4_set_book(void* solver, void* book) {
+  static_cast<c4::Solver*>(solver)->set_book(static_cast<c4::Book*>(book));
+}
+
+// Generate a depth-D book and write it to `path`; returns entry count or 0.
+uint64_t c4_book_generate(int depth, const char* path) {
+  c4::Book* book = c4::generate_book(depth);
+  uint64_t n = book->save(path) ? book->size() : 0;
+  delete book;
+  return n;
+}
+
 }  // extern "C"
 
 // ---------------------------------------------------------------------------
 // CLI: line-per-position stdin/stdout protocol compatible with the reference
 // wrapper (c4_exact_solver.py:28-47): for each input line of 1-indexed moves,
-// print "<moves> <score> <nodes> <time_us>". "-b <book>" is accepted and
-// ignored (no opening book needed; kept for CLI compatibility).
+// print "<moves> <score> <nodes> <time_us>". Flags:
+//   -b <book>        use an opening book (reference CLI's flag)
+//   -g <depth> <out> generate a depth-<depth> book, write it, and exit
 // ---------------------------------------------------------------------------
 
 #ifdef C4_CLI
 int main(int argc, char** argv) {
-  (void)argc;
-  (void)argv;
   c4::Solver solver;
+  c4::Book book;
+  for (int i = 1; i < argc; ++i) {
+    if (!std::strcmp(argv[i], "-b") && i + 1 < argc) {
+      if (book.load(argv[i + 1])) {
+        solver.set_book(&book);
+        std::fprintf(stderr, "Loaded book %s: depth %d, %zu entries\n",
+                     argv[i + 1], book.depth, book.size());
+      } else {
+        std::fprintf(stderr, "Could not load book %s\n", argv[i + 1]);
+      }
+      ++i;
+    } else if (!std::strcmp(argv[i], "-g") && i + 2 < argc) {
+      int depth = std::atoi(argv[i + 1]);
+      auto t0 = std::chrono::steady_clock::now();
+      c4::Book* generated = c4::generate_book(depth, /*verbose=*/true);
+      auto secs = std::chrono::duration_cast<std::chrono::seconds>(
+                      std::chrono::steady_clock::now() - t0)
+                      .count();
+      bool ok = generated->save(argv[i + 2]);
+      std::fprintf(stderr, "Generated depth-%d book: %zu entries in %llds%s\n",
+                   depth, generated->size(), (long long)secs,
+                   ok ? "" : " (WRITE FAILED)");
+      delete generated;
+      return ok ? 0 : 1;
+    }
+  }
   std::string line;
   char buf[256];
   while (std::fgets(buf, sizeof(buf), stdin)) {

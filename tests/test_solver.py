@@ -2,6 +2,8 @@
 CLI protocol (SURVEY.md §4 strategy (c))."""
 
 import functools
+import os
+import time
 import subprocess
 
 import numpy as np
@@ -175,3 +177,51 @@ def test_invalid_sequence_raises(solver):
         solver.solve_moves("8")  # no such column
     with pytest.raises(ValueError):
         solver.solve_moves("1111111")  # column overflow
+
+
+# ---------------------------------------------------------------------------
+# Opening book (generated offline by `c4solver -g <depth> 7x6.book`; tests
+# skip until the book ships — generation solves the whole depth-D frontier)
+# ---------------------------------------------------------------------------
+
+needs_book = pytest.mark.skipif(
+    not os.path.exists(sv.DEFAULT_BOOK), reason="no opening book generated"
+)
+
+
+@needs_book
+def test_book_probes_match_direct_solves(solver):
+    """Booked solver agrees with the bare solver on in-book and out-of-book
+    positions (the book stores exact strong scores)."""
+    bare = sv.ConnectFourSolver(book=None)
+    assert solver.book_depth >= 1
+    # In-book lines (depth <= book depth) and a deeper out-of-book line.
+    lines = ["4", "44", "444", "4455", "445566", "44455556"]
+    for line in lines:
+        if len(line) <= solver.book_depth:
+            assert solver.solve_moves(line) == bare.solve_moves(line), line
+    assert solver.solve_moves("44455556") == 7
+
+
+@needs_book
+def test_book_empty_board_instant():
+    """The whole point: the empty board (minutes bare) probes instantly."""
+    booked = sv.ConnectFourSolver()
+    t0 = time.time()
+    assert booked.solve_moves("") == 1  # first player wins 7x6 connect-4
+    assert time.time() - t0 < 1.0
+
+
+@needs_book
+def test_cli_book_flag():
+    cli = sv.cli_path()
+    out = subprocess.run(
+        [cli, "-b", sv.DEFAULT_BOOK],
+        input="\n4455\n",
+        capture_output=True,
+        text=True,
+        timeout=120,
+    ).stdout
+    lines = out.strip().split("\n")
+    assert int(lines[0].split(" ")[1]) == 1   # empty board via book
+    assert int(lines[1].split(" ")[1]) == 18
