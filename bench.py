@@ -27,6 +27,7 @@ def _sync(x):
 from custom_alphazero_tpu.config import ConnectNConfig, MCTSConfig, ModelConfig
 from custom_alphazero_tpu.envs.connect_n import ConnectN
 from custom_alphazero_tpu.models.policy_value import PolicyValueNet
+from custom_alphazero_tpu.ops.fused_mcts import FusedConnectNSearch
 from custom_alphazero_tpu.runtime.train import make_evaluate_fn
 from custom_alphazero_tpu.search.mcts import MCTS
 
@@ -37,14 +38,16 @@ SIMS = 64
 NET = ModelConfig(depth=2, filters=32, value_hidden=64)
 
 
-def build(batch_size: int):
+def build(batch_size: int, fused: bool):
     env = ConnectN(ConnectNConfig())
     net = PolicyValueNet(env.num_actions, NET)
     variables = net.init(
         jax.random.PRNGKey(0), jnp.zeros((1,) + env.obs_shape), train=False
     )
     evaluate = make_evaluate_fn(net)
-    mcts = MCTS(env, MCTSConfig(simulations=SIMS))
+    cfg = MCTSConfig(simulations=SIMS)
+    mcts = MCTS(env, cfg)
+    fused_search = FusedConnectNSearch(env, cfg) if fused else None
 
     from functools import partial
 
@@ -55,13 +58,15 @@ def build(batch_size: int):
         def ply(carry, _):
             states, rng = carry
             rng, k_search, k_sample = jax.random.split(rng, 3)
-            tree = mcts.search(
-                states,
-                lambda obs: evaluate(params, batch_stats, obs),
-                k_search,
-                SIMS,
-            )
-            visits = mcts.root_child_visits(tree).astype(jnp.float32)
+            evaluate_fn = lambda obs: evaluate(params, batch_stats, obs)
+            if fused_search is not None:
+                root_visits, _ = fused_search.search_root_stats(
+                    states, evaluate_fn, k_search, SIMS
+                )
+            else:
+                tree = mcts.search(states, evaluate_fn, k_search, SIMS)
+                root_visits = mcts.root_child_visits(tree)
+            visits = root_visits.astype(jnp.float32)
             keys = jax.random.split(k_sample, batch_size)
             logits = jnp.where(visits > 0, jnp.log(visits), -jnp.inf)
             safe = jnp.where(
@@ -90,8 +95,9 @@ def build(batch_size: int):
     return variables, rollout, init_states
 
 
-def measure(batch_size: int, plies: int, iters: int = 2) -> float:
-    variables, rollout, states = build(batch_size)
+def measure(batch_size: int, plies: int, iters: int = 2,
+            fused: bool = True) -> float:
+    variables, rollout, states = build(batch_size, fused)
     params, batch_stats = variables["params"], variables.get("batch_stats", {})
     rng = jax.random.PRNGKey(1)
     # Warmup with the SAME static plies (each distinct value recompiles).
@@ -106,18 +112,23 @@ def measure(batch_size: int, plies: int, iters: int = 2) -> float:
 
 
 def main():
-    best = (0.0, None)
+    best = (0.0, None, True)
     for batch_size in (4096, 8192):
-        try:
-            rate = measure(batch_size, plies=4)
-        except Exception as exc:  # noqa: BLE001 — OOM etc: skip size
-            print(f"batch {batch_size}: {exc}", file=sys.stderr)
-            continue
-        print(f"batch {batch_size}: {rate:,.0f} sims/s", file=sys.stderr)
-        if rate > best[0]:
-            best = (rate, batch_size)
+        # Both search backends produce bit-identical trees
+        # (tests/test_fused_mcts.py); benchmark each, keep the faster.
+        for fused in (True, False):
+            try:
+                rate = measure(batch_size, plies=4, fused=fused)
+            except Exception as exc:  # noqa: BLE001 — OOM etc: skip size
+                print(f"batch {batch_size}: {exc}", file=sys.stderr)
+                continue
+            name = "fused-pallas" if fused else "xla"
+            print(f"batch {batch_size} [{name}]: {rate:,.0f} sims/s",
+                  file=sys.stderr)
+            if rate > best[0]:
+                best = (rate, batch_size, fused)
     # Confirmation run at the best size, longer.
-    rate = measure(best[1], plies=16)
+    rate = measure(best[1], plies=16, fused=best[2])
     rate = max(rate, best[0])
     print(json.dumps({
         "metric": "mcts_simulations_per_second_per_chip_connect4",

@@ -54,10 +54,26 @@ def make_selfplay_fn(
     mcts_cfg: MCTSConfig,
     sp_cfg: SelfPlayConfig,
     max_plies: int,
+    fused: bool = None,
 ) -> Callable[[EvaluateFn, jnp.ndarray, int], Tuple[SelfPlayBatch, SelfPlayStats]]:
     """Build the generation function; callers jit the returned closure
-    (typically wrapped so `evaluate_fn` closes over dynamic params)."""
+    (typically wrapped so `evaluate_fn` closes over dynamic params).
 
+    fused: use the Pallas fused search kernel (ops/fused_mcts.py) for the
+    per-ply MCTS — bit-identical root statistics, tree state kept in VMEM.
+    Default (None): auto — on TPU, whenever the env/config supports it
+    (elsewhere the kernel would run interpreted, slower than the XLA path)."""
+
+    from custom_alphazero_tpu.ops import fused_mcts
+
+    if fused is None:
+        fused = (
+            fused_mcts.supports(env, mcts_cfg)
+            and jax.default_backend() == "tpu"
+        )
+    fused_search = (
+        fused_mcts.FusedConnectNSearch(env, mcts_cfg) if fused else None
+    )
     mcts = MCTS(env, mcts_cfg)
     num_actions = env.num_actions
 
@@ -70,8 +86,16 @@ def make_selfplay_fn(
             active = ~jax.vmap(env.is_terminal)(states)
             obs = jax.vmap(env.observe)(states)
 
-            tree = mcts.search(states, evaluate_fn, k_search, mcts_cfg.simulations)
-            visits = mcts.root_child_visits(tree).astype(jnp.float32)  # (B, A)
+            if fused_search is not None:
+                root_visits, _ = fused_search.search_root_stats(
+                    states, evaluate_fn, k_search, mcts_cfg.simulations
+                )
+            else:
+                tree = mcts.search(
+                    states, evaluate_fn, k_search, mcts_cfg.simulations
+                )
+                root_visits = mcts.root_child_visits(tree)
+            visits = root_visits.astype(jnp.float32)  # (B, A)
             visit_sum = jnp.maximum(visits.sum(axis=-1, keepdims=True), 1.0)
             probs = visits / visit_sum
             greedy = jax.vmap(lambda s: s.fullmove)(states) >= mcts_cfg.greedy_from_move
