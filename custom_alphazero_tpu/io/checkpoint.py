@@ -50,7 +50,9 @@ def save_checkpoint(
         "hash": _hash(payload),
         **(extra_meta or {}),
     }
-    tmp = tempfile.mkdtemp(dir=os.path.dirname(path) or ".")
+    parent = os.path.dirname(path) or "."
+    os.makedirs(parent, exist_ok=True)
+    tmp = tempfile.mkdtemp(dir=parent)
     try:
         with open(os.path.join(tmp, MODEL_FILE), "wb") as fp:
             fp.write(payload)

@@ -146,3 +146,59 @@ def test_client_fallbacks_on_dead_server():
     assert value == 0.0
     assert client.retrieve_queue() is None
     assert client.update_best_model() is False
+
+
+def test_serving_main_serves_checkpointed_model(tmp_path):
+    """python -m custom_alphazero_tpu.serving: loads the run's newest lineage
+    checkpoint and serves it; best-model/update re-reads from disk."""
+    import jax
+    import jax.numpy as jnp
+
+    from custom_alphazero_tpu import paths
+    from custom_alphazero_tpu.config import Config, apply_overrides
+    from custom_alphazero_tpu.io.checkpoint import save_checkpoint
+    from custom_alphazero_tpu.models.policy_value import PolicyValueNet
+    from custom_alphazero_tpu.runtime.loop import make_env
+    from custom_alphazero_tpu.runtime.train import init_train_state
+    from custom_alphazero_tpu.serving.__main__ import build_service
+
+    cfg = apply_overrides(
+        Config(),
+        {
+            "run.results_dir": str(tmp_path),
+            "run.run_id": "serve-test",
+            "model.depth": "1",
+            "model.filters": "8",
+            "model.value_hidden": "8",
+        },
+    )
+    env = make_env(cfg)
+    net = PolicyValueNet(env.num_actions, cfg.model)
+    state = init_train_state(net, cfg.model, jax.random.PRNGKey(3), env.obs_shape)
+    save_checkpoint(
+        paths.evaluation_iteration_path(str(tmp_path), cfg.game, "serve-test", 50),
+        state,
+        1e-2,
+    )
+
+    svc = build_service(cfg, host="127.0.0.1", port=0, batch_size=1).start()
+    try:
+        client = ServingClient(svc.host, svc.port)
+        assert client.get_run_id() == "serve-test"
+        obs = np.zeros(env.obs_shape, np.float32)
+        probs, value = client.infer_sample(obs)
+        assert probs.shape == (env.num_actions,)
+        np.testing.assert_allclose(probs.sum(), 1.0, rtol=1e-5)
+        assert -1.0 <= value <= 1.0
+        # Matches a direct forward with the same checkpointed params.
+        logits, v = net.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            jnp.asarray(obs)[None],
+            train=False,
+        )
+        np.testing.assert_allclose(
+            probs, np.asarray(jax.nn.softmax(logits))[0], rtol=1e-5
+        )
+        assert client.update_best_model() is True
+    finally:
+        svc.stop()
