@@ -138,9 +138,13 @@ class Learner:
         return train_state, replay
 
 
-def _visualize_tree(learner, best, generation, results_dir, game, run_id):
+def _visualize_tree(learner, best, generation, results_dir, game, run_id,
+                    updated: bool = False):
     """Render one search tree from the opening position with the current
-    best params (parity with visualize_mcts_iteration, utils.py:136-162)."""
+    best params (parity with visualize_mcts_iteration, utils.py:136-162):
+    a 'light' (visited-edges) render per iteration; when the best model just
+    changed (`updated`), archive light + full renders under
+    self_play/updated_mcts/ as well (utils.py:153-162)."""
     from custom_alphazero_tpu.search.mcts import MCTS
     from custom_alphazero_tpu.tools.visualize import save_tree
 
@@ -160,9 +164,21 @@ def _visualize_tree(learner, best, generation, results_dir, game, run_id):
                                jax.random.PRNGKey(generation))
     out = os.path.join(
         paths.self_play_iteration_path(results_dir, game, run_id, generation),
-        f"mcts_tree_iteration_{generation}",
+        f"mcts_iteration_{generation}_light",
     )
     save_tree(tree, learner.env, out, c_puct=cfg.mcts.c_puct)
+    if updated:
+        updated_dir = paths.updated_mcts_path(results_dir, game, run_id)
+        save_tree(
+            tree, learner.env,
+            os.path.join(updated_dir, f"mcts_iteration_{generation}_light"),
+            c_puct=cfg.mcts.c_puct,
+        )
+        save_tree(
+            tree, learner.env,
+            os.path.join(updated_dir, f"mcts_iteration_{generation}_full"),
+            c_puct=cfg.mcts.c_puct, min_visits=0,
+        )
 
 
 def run(cfg: Config, generations: Optional[int] = None) -> dict:
@@ -210,6 +226,7 @@ def run(cfg: Config, generations: Optional[int] = None) -> dict:
     generation = 0
     summary = {"run_id": run_id, "iterations": 0, "promotions": 0,
                "last_arena_score": None}
+    best_updated = False
 
     print(f"Starting run {run_id} on {jax.devices()}")
     while total == 0 or generation < total:
@@ -238,8 +255,12 @@ def run(cfg: Config, generations: Optional[int] = None) -> dict:
             )
         vfreq = cfg.loop.visualize_frequency
         if vfreq and (generation + 1) % vfreq == 0:
+            # `updated` = the best model changed since the last render
+            # (reference self_play.py:163-187 + utils.py:153-162).
             _visualize_tree(learner, best, generation,
-                            results_dir, game, run_id)
+                            results_dir, game, run_id,
+                            updated=best_updated)
+            best_updated = False
         sims = int(stats.plies) * cfg.mcts.simulations
         print(
             f"[gen {generation}] {samples} samples from "
@@ -318,6 +339,7 @@ def run(cfg: Config, generations: Optional[int] = None) -> dict:
                     if promoted:
                         best = (train_state.params, train_state.batch_stats)
                         summary["promotions"] += 1
+                        best_updated = True
                     # The *winner*'s weights land in evaluation/iteration_N —
                     # the candidate when promoted, the incumbent otherwise
                     # (reference model/tensorflow/train.py:92-102).
