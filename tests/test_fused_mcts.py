@@ -16,6 +16,7 @@ import pytest
 from custom_alphazero_tpu.config import ConnectNConfig, MCTSConfig
 from custom_alphazero_tpu.envs.connect_n import ConnectN
 from custom_alphazero_tpu.ops.fused_mcts import FusedConnectNSearch
+from custom_alphazero_tpu.ops.fused_mcts_v2 import FusedConnectNSearchV2
 from custom_alphazero_tpu.search.mcts import MCTS
 
 
@@ -46,9 +47,10 @@ def _dyadic_evaluate(env):
     return evaluate
 
 
+@pytest.mark.parametrize("impl", [FusedConnectNSearch, FusedConnectNSearchV2])
 @pytest.mark.parametrize("use_dirichlet", [False, True])
 @pytest.mark.parametrize("plies", [0, 6, 20])
-def test_fused_matches_general_path(use_dirichlet, plies):
+def test_fused_matches_general_path(impl, use_dirichlet, plies):
     env = ConnectN(ConnectNConfig())
     cfg = MCTSConfig(simulations=24, use_dirichlet=use_dirichlet)
     batch, sims = 16, 24
@@ -64,7 +66,7 @@ def test_fused_matches_general_path(use_dirichlet, plies):
     a = env.num_actions
     ref_wsum = np.asarray(tree.value_sum[:, :a])
 
-    fused = FusedConnectNSearch(env, cfg, block_games=8)
+    fused = impl(env, cfg, block_games=8)
     visits, wsum = jax.jit(
         lambda s, r: fused.search_root_stats(s, evaluate, r, sims)
     )(states, rng)
