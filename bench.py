@@ -27,7 +27,7 @@ def _sync(x):
 from custom_alphazero_tpu.config import ConnectNConfig, MCTSConfig, ModelConfig
 from custom_alphazero_tpu.envs.connect_n import ConnectN
 from custom_alphazero_tpu.models.policy_value import PolicyValueNet
-from custom_alphazero_tpu.ops.fused_mcts import FusedConnectNSearch
+from custom_alphazero_tpu.ops.fused_mcts_v2 import FusedConnectNSearchV2
 from custom_alphazero_tpu.runtime.train import make_evaluate_fn
 from custom_alphazero_tpu.search.mcts import MCTS
 
@@ -47,7 +47,7 @@ def build(batch_size: int, fused: bool):
     evaluate = make_evaluate_fn(net)
     cfg = MCTSConfig(simulations=SIMS)
     mcts = MCTS(env, cfg)
-    fused_search = FusedConnectNSearch(env, cfg) if fused else None
+    fused_search = FusedConnectNSearchV2(env, cfg) if fused else None
 
     from functools import partial
 

@@ -135,9 +135,6 @@ def _wave_kernel(
     def edge_onehot(node, action):
         return (iota_na == node * a + action).astype(jnp.float32)
 
-    def node_onehot(node):
-        return (iota_n == node).astype(jnp.float32)
-
     # ---- phase A: expand + backup the previous wave's leaf -----------------
     @pl.when(wave > 0)
     def _phase_a():

@@ -64,7 +64,7 @@ def make_selfplay_fn(
     Default (None): auto — on TPU, whenever the env/config supports it
     (elsewhere the kernel would run interpreted, slower than the XLA path)."""
 
-    from custom_alphazero_tpu.ops import fused_mcts
+    from custom_alphazero_tpu.ops import fused_mcts, fused_mcts_v2
 
     if fused is None:
         fused = (
@@ -72,7 +72,7 @@ def make_selfplay_fn(
             and jax.default_backend() == "tpu"
         )
     fused_search = (
-        fused_mcts.FusedConnectNSearch(env, mcts_cfg) if fused else None
+        fused_mcts_v2.FusedConnectNSearchV2(env, mcts_cfg) if fused else None
     )
     mcts = MCTS(env, mcts_cfg)
     num_actions = env.num_actions
