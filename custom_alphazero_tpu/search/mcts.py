@@ -277,41 +277,63 @@ class MCTS:
                 tiled = jnp.tile(row_values, (1, n))
                 return jnp.where(sel, tiled, flat)
         else:
-            arange_a = jnp.arange(a)
+            # Contiguous per-node rows: vmapped dynamic slices, NOT
+            # take/put_along_axis — arbitrary-index gathers/scatters lower
+            # to scalar loops on TPU (measured 35 ms vs 4.8 ms for one
+            # (B=1024, A=1968) row read).
+            def _slice_row(flat, node):
+                return jax.vmap(
+                    lambda row, k: jax.lax.dynamic_slice(row, (k * a,), (a,))
+                )(flat, node)
+
+            def _update_row(flat, node, values):
+                return jax.vmap(
+                    lambda row, k, v: jax.lax.dynamic_update_slice(
+                        row, v, (k * a,)
+                    )
+                )(flat, node, values.astype(flat.dtype))
 
             def read_rows(tree, node):
-                row = node[:, None] * a + arange_a[None, :]
-                take = lambda flat: jnp.take_along_axis(flat, row, axis=1)
-                return (take(tree.prior), take(tree.children),
-                        take(tree.visits), take(tree.value_sum))
+                return (_slice_row(tree.prior, node),
+                        _slice_row(tree.children, node),
+                        _slice_row(tree.visits, node),
+                        _slice_row(tree.value_sum, node))
 
             def read_node(arr, node):
-                return jnp.take_along_axis(
-                    arr.astype(jnp.float32), node[:, None], axis=1
-                )[:, 0]
+                return jax.vmap(
+                    lambda row, k: jax.lax.dynamic_slice(row, (k,), (1,))
+                )(arr.astype(jnp.float32), node)[:, 0]
 
             def write_edge(flat, node, action, value, mask):
-                idx = (node * a + action)[:, None]
-                cur = jnp.take_along_axis(flat, idx, axis=1)
+                idx = node * a + action
+                cur = jax.vmap(
+                    lambda row, k: jax.lax.dynamic_slice(row, (k,), (1,))
+                )(flat, idx)
                 val = jnp.where(mask[:, None], value[:, None], cur)
-                return jnp.put_along_axis(flat, idx, val.astype(flat.dtype),
-                                          axis=1, inplace=False)
+                return jax.vmap(
+                    lambda row, k, v: jax.lax.dynamic_update_slice(
+                        row, v, (k,)
+                    )
+                )(flat, idx, val.astype(flat.dtype))
 
             def add_edge(flat, node, action, delta, mask):
-                idx = (node * a + action)[:, None]
-                cur = jnp.take_along_axis(flat, idx, axis=1)
+                idx = node * a + action
+                cur = jax.vmap(
+                    lambda row, k: jax.lax.dynamic_slice(row, (k,), (1,))
+                )(flat, idx)
                 val = cur + jnp.where(
                     mask[:, None], delta[:, None], 0
                 ).astype(flat.dtype)
-                return jnp.put_along_axis(flat, idx, val, axis=1,
-                                          inplace=False)
+                return jax.vmap(
+                    lambda row, k, v: jax.lax.dynamic_update_slice(
+                        row, v, (k,)
+                    )
+                )(flat, idx, val)
 
             def write_prior_row(flat, node, row_values, mask):
-                row = node[:, None] * a + arange_a[None, :]
-                cur = jnp.take_along_axis(flat, row, axis=1)
+                cur = _slice_row(flat, node)
                 val = jnp.where(mask[:, None], row_values, cur)
-                return jnp.put_along_axis(flat, row, val, axis=1,
-                                          inplace=False)
+                return _update_row(flat, node, val)
 
         def write_node(arr, node, value, mask):
             """arr[b, node[b]] = value[b] where mask — masked full write for
@@ -320,10 +342,13 @@ class MCTS:
             if dense:
                 sel = (_onehot(node, n) > 0) & mask[:, None]
                 return jnp.where(sel, value[:, None].astype(arr.dtype), arr)
-            idx = node[:, None]
-            cur = jnp.take_along_axis(arr, idx, axis=1)
+            cur = jax.vmap(
+                lambda row, k: jax.lax.dynamic_slice(row, (k,), (1,))
+            )(arr, node)
             val = jnp.where(mask[:, None], value[:, None].astype(arr.dtype), cur)
-            return jnp.put_along_axis(arr, idx, val, axis=1, inplace=False)
+            return jax.vmap(
+                lambda row, k, v: jax.lax.dynamic_update_slice(row, v, (k,))
+            )(arr, node, val)
 
         # ---- the simulation wave -------------------------------------------
         def sim_body(i, carry):
