@@ -142,3 +142,23 @@ def test_selfplay_fused_matches_general():
     np.testing.assert_array_equal(
         np.asarray(ref_stats.plies), np.asarray(fused_stats.plies)
     )
+
+
+@pytest.mark.parametrize("impl", [FusedConnectNSearch, FusedConnectNSearchV2])
+def test_fused_variant_geometry(impl):
+    """Non-default board (5x4, connect-3): the padded-window win detection
+    and action space must match the general path exactly."""
+    env = ConnectN(ConnectNConfig(width=5, height=4, n=3))
+    cfg = MCTSConfig(simulations=20)
+    states = _random_midgame_states(env, jax.random.PRNGKey(2), 16, 5)
+    evaluate = _dyadic_evaluate(env)
+    rng = jax.random.PRNGKey(4)
+
+    mcts = MCTS(env, cfg)
+    tree = jax.jit(lambda s, r: mcts.search(s, evaluate, r, 20))(states, rng)
+    ref = np.asarray(mcts.root_child_visits(tree))
+    fused = impl(env, cfg, block_games=16)
+    visits, _ = jax.jit(
+        lambda s, r: fused.search_root_stats(s, evaluate, r, 20)
+    )(states, rng)
+    np.testing.assert_array_equal(np.asarray(visits), ref)
