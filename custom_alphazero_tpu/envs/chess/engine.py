@@ -503,6 +503,60 @@ class Chess(core.Env):
         reward = jnp.where(keep, 0.0, reward)
         return merged, reward
 
+    def step_lite(self, state: ChessState, action: jnp.ndarray) -> ChessState:
+        """Descent step: apply the move, maintain exactly what ``observe``
+        and a subsequent full ``step`` consume (board, castling, ep, clocks,
+        history, repetition planes, hash ring) and leave the analysis fields
+        (legal / in_check / terminal / won) stale.
+
+        Sound inside MCTS select because the tree stores each node's
+        terminal flag (computed by the full ``step`` at node creation) and
+        descent only continues through non-terminal expanded nodes; the
+        carried state is only ever re-stepped fully at the leaf or observed
+        (core.Env.step_lite contract). Skipping the 1968-action legality /
+        king-safety pass here makes the per-level descent cost ~6x cheaper.
+        """
+        flat = state.board.reshape(64)
+        new_flat, info = _apply_action(
+            flat, state.castling, state.ep_file, action.astype(jnp.int32)
+        )
+        own_k = state.castling[0] & (info["piece"] != T.KING) & ~(
+            (info["frm"] == T.H1) & (info["piece"] == T.ROOK))
+        own_q = state.castling[1] & (info["piece"] != T.KING) & ~(
+            (info["frm"] == T.A1) & (info["piece"] == T.ROOK))
+        opp_k = state.castling[2] & ~(info["to"] == T.H8)
+        opp_q = state.castling[3] & ~(info["to"] == T.A8)
+
+        new_board = -new_flat.reshape(8, 8)[::-1]
+        castling = jnp.stack([opp_k, opp_q, own_k, own_q])
+        ep_file = info["new_ep_file"].astype(jnp.int32)
+        halfmove = jnp.where(
+            info["is_pawn"] | info["captured"], 0, state.halfmove + 1
+        ).astype(jnp.int32)
+
+        h = _position_hash(new_board.reshape(64), castling, ep_file)
+        slot = (jnp.arange(HASH_RING) == state.ring_idx % HASH_RING)[:, None]
+        ring = jnp.where(slot, h[None, :], state.hash_ring)
+        matches = jnp.sum(jnp.all(ring == h[None, :], axis=1))
+
+        history = jnp.concatenate(
+            [new_board[None], state.history[:-1]], axis=0
+        )
+        history_rep = jnp.concatenate(
+            [(matches >= 2)[None], state.history_rep[:-1]], axis=0
+        )
+        return state.replace(
+            board=new_board,
+            castling=castling,
+            ep_file=ep_file,
+            halfmove=halfmove,
+            fullmove=state.fullmove + 1,
+            history=history,
+            history_rep=history_rep,
+            hash_ring=ring,
+            ring_idx=state.ring_idx + 1,
+        )
+
     # -- queries -----------------------------------------------------------
 
     def legal_mask(self, state: ChessState) -> jnp.ndarray:

@@ -35,16 +35,32 @@ TPU performance design (shaped by trace analysis on a v5e chip):
   holds no (batch, nodes, board...) buffer — the naive layout tiles tiny
   board minor dims to (8, 128), a 24x-padded half-GB buffer that XLA
   layout-copies every wave.
-- **Dense one-hot addressing** (small action spaces, e.g. Connect-N): all
-  row reads are one-hot einsums and all writes are masked full-array
-  updates over (B, N*A) — zero gather/scatter ops, which on TPU otherwise
-  lower to slow scalar-unit loops (a vmapped ``lax.dynamic_slice`` was
-  measured at ~1 microsecond *per game per step*).
-- **Gather addressing** (large action spaces, e.g. chess's 1968 actions):
-  index-vector gathers ``x[node*A + iota]`` and masked scatters — dense
-  full-array traffic would cost hundreds of MB per simulation there.
-  The path is chosen by ``num_actions * num_nodes`` vs
-  ``MCTS.dense_threshold``.
+- **No gathers or scatters anywhere.** Arbitrary-index gathers/scatters
+  lower to scalar-unit loops on TPU: a single-element vmapped
+  ``dynamic_update_slice`` on a (B, N*A) edge array measured 5.7 ms at
+  chess scale (B=1024, A=1968), take_along_axis 24 ms, ``.at[].add`` 3.3 ms
+  — per backup level. The layout below makes every hot access either a
+  static-offset slice, a one-hot einsum over a small (B, N) array, or a
+  full-array pass done once per wave.
+- **Edge statistics live on the child node.** Every tree edge (s, a) with a
+  created child holds exactly one child, so N(s,a) / W(s,a) are stored as
+  per-node vectors indexed by the child (``visits``/``value_sum``, (B, N)),
+  and backup is a few one-hot adds on (B, N) — not scatters into (B, N*A).
+  Edges without children have N = 0, W = 0 by the reference's definition.
+- **Static node slots.** The node created by simulation wave ``i`` always
+  goes in slot ``i`` (slots of waves that end on an existing terminal node
+  are simply left unlinked), so all expansion-time writes are
+  dynamic-update-slices at a *batch-uniform* offset — one vectorized op,
+  no per-game offsets (0.09 ms vs 4.8-5.7 ms at chess scale).
+- **No children-index array.** The child of (s, a), when needed during the
+  per-wave precompute, is recovered from the parent/parent_action vectors
+  with a (B, N, N) one-hot match — tiny (65x65 per game at 64 sims).
+- **Per-wave PUCT precompute.** Selection statistics are frozen within a
+  simulation (backup happens after select), so the per-level argmax over
+  the current node's row equals a per-wave argmax over every node's row:
+  ONE pass over the (B, N, A) score tensor per simulation, after which the
+  descent loop reads only (B, N) best-action / best-child tables (the same
+  restructure as the fused Pallas kernel v2, ops/fused_mcts_v2.py).
 
 Child states are materialized lazily (one new node per simulation) instead
 of all-at-once at expansion — identical search behavior, and O(simulations)
@@ -82,13 +98,15 @@ class Tree:
 
     root_state: env-state pytree — the root position (node 0). Other nodes'
         states are reconstructed on the fly during select.
-    parent: (N,) parent node index (NO_PARENT for the root).
+    parent: (N,) parent node index (NO_PARENT for the root and for
+        unlinked slots — waves that ended on an existing terminal node).
     parent_action: (N,) action taken from the parent to reach the node.
-    children: (N*A,) child node index or UNVISITED, indexed n*A + a.
-    visits: (N*A,) edge visit counts (reference UCTEdge.visit_count).
-    value_sum: (N*A,) summed backed-up edge values, from the perspective of
-        the player taking the edge action (UCTEdge.total_action_value).
-    prior: (N*A,) legal-masked renormalized priors; exactly 0 on illegal
+    visits: (N,) visit count of the edge INTO the node — the reference
+        UCTEdge.visit_count of (parent, parent_action), stored on the child.
+    value_sum: (N,) summed backed-up values of the edge into the node, from
+        the perspective of the player taking that edge's action
+        (UCTEdge.total_action_value).
+    prior: (N, A) legal-masked renormalized priors; exactly 0 on illegal
         actions and >= a denormal floor on legal ones, so ``prior > 0``
         doubles as the legal mask during selection (UCTEdge.prior).
     expanded: (N,) priors valid (reference: node has edges).
@@ -97,13 +115,12 @@ class Tree:
         the value a terminal leaf backs up (reference get_result, mcts.py:179).
     value_evaluated: (N,) raw network value at expansion (for visualization,
         reference UCTNode.evaluated_value).
-    node_count: () number of allocated nodes.
+    node_count: () number of linked nodes (diagnostics/visualization).
     """
 
     root_state: Any
     parent: jnp.ndarray
     parent_action: jnp.ndarray
-    children: jnp.ndarray
     visits: jnp.ndarray
     value_sum: jnp.ndarray
     prior: jnp.ndarray
@@ -121,21 +138,13 @@ def _onehot(idx: jnp.ndarray, size: int) -> jnp.ndarray:
 class MCTS:
     """Batched array-tree PUCT search over an :class:`Env`."""
 
-    #: Use the dense one-hot path when num_actions * num_nodes is at most
-    #: this (Connect-4 at 250 sims: 7 * 251 = 1757; chess at 800 sims:
-    #: 1968 * 801 ≈ 1.6M — gathers win there).
-    dense_threshold: int = 65536
-
     def __init__(self, env: Env, cfg: MCTSConfig = MCTSConfig(),
                  dense: Optional[bool] = None):
+        # `dense` is accepted for backward compatibility and ignored: the
+        # scatter-free layout made the dense/gather access-path split moot.
+        del dense
         self.env = env
         self.cfg = cfg
-        self._dense_override = dense
-
-    def _use_dense(self, num_nodes: int) -> bool:
-        if self._dense_override is not None:
-            return self._dense_override
-        return self.env.num_actions * num_nodes <= self.dense_threshold
 
     # -- tree construction -------------------------------------------------
 
@@ -146,10 +155,9 @@ class MCTS:
             root_state=root_state,
             parent=jnp.full((n,), NO_PARENT, jnp.int32),
             parent_action=jnp.zeros((n,), jnp.int32),
-            children=jnp.full((n * a,), UNVISITED, jnp.int32),
-            visits=jnp.zeros((n * a,), jnp.int32),
-            value_sum=jnp.zeros((n * a,), jnp.float32),
-            prior=jnp.zeros((n * a,), jnp.float32),
+            visits=jnp.zeros((n,), jnp.float32),
+            value_sum=jnp.zeros((n,), jnp.float32),
+            prior=jnp.zeros((n, a), jnp.float32),
             expanded=jnp.zeros((n,), jnp.bool_),
             is_terminal=jnp.zeros((n,), jnp.bool_)
             .at[0]
@@ -166,7 +174,7 @@ class MCTS:
     # -- shared pieces -----------------------------------------------------
 
     def _ucb_action(self, prior, nv, w):
-        """(B, A) PUCT argmax with reference scoring and tie-breaks."""
+        """(..., A) PUCT argmax with reference scoring and tie-breaks."""
         cfg = self.cfg
         neg_inf = jnp.finfo(jnp.float32).min
         nv_f = nv.astype(jnp.float32)
@@ -212,6 +220,26 @@ class MCTS:
         # Keep the legal floor: noise can underflow to zero.
         return jnp.where(legal, jnp.maximum(mixed, 1e-35), 0.0)
 
+    # -- edge-statistic reconstruction ---------------------------------------
+
+    def _edge_stats(self, tree: Tree, num_nodes: int):
+        """(nv, w): (B, N, A) edge visit counts / value sums, reconstructed
+        from the per-child-node stats with parent-match einsums (each child
+        owns exactly one parent edge). Unlinked slots (parent == -1) match
+        nothing. Contraction is over the child axis ``c``."""
+        n, a = num_nodes, self.env.num_actions
+        pm = (tree.parent[:, :, None] == jnp.arange(n)).astype(jnp.float32)
+        am = (
+            tree.parent_action[:, :, None] == jnp.arange(a)
+        ).astype(jnp.float32)
+        # One stacked contraction for both statistics (pm read once).
+        stacked = jnp.concatenate(
+            [am * tree.visits[:, :, None], am * tree.value_sum[:, :, None]],
+            axis=-1,
+        )  # (B, C, 2A)
+        out = jnp.einsum("bcn,bck->bnk", pm, stacked)
+        return out[..., :a], out[..., a:]
+
     # -- batched search ----------------------------------------------------
 
     def search(self, root_states, evaluate_fn: EvaluateFn, rng,
@@ -226,137 +254,59 @@ class MCTS:
         Not jitted here: callers jit the enclosing program so `evaluate_fn`
         can close over (dynamic) network parameters without retracing.
         """
-        num_nodes = self.cfg.max_nodes or simulations + 1
+        # Static slots need one slot per wave (wave 0 only evaluates the
+        # root and creates nothing, so slot 0 doubles as the root).
+        num_nodes = max(self.cfg.max_nodes, simulations)
         batch = jax.tree.leaves(root_states)[0].shape[0]
         env, a_count = self.env, self.env.num_actions
-        dense = self._use_dense(num_nodes)
         tree = jax.vmap(lambda s: self.init_tree(s, num_nodes))(root_states)
 
         n, a = num_nodes, a_count
 
-        # ---- batch-level row access helpers --------------------------------
-        if dense:
-            def read_rows(tree, node):
-                """(prior, children, nv, w) rows of `node` — one-hot einsums,
-                no gathers."""
-                oh = _onehot(node, n)  # (B, N)
-                def pick(flat, dtype=None):
-                    mat = flat.reshape(batch, n, a)
-                    out = jnp.einsum(
-                        "bn,bna->ba", oh, mat.astype(jnp.float32)
-                    )
-                    return out
-                prior = pick(tree.prior)
-                children = pick(tree.children).astype(jnp.int32)
-                nv = pick(tree.visits).astype(jnp.int32)
-                w = pick(tree.value_sum)
-                return prior, children, nv, w
+        def read_node(arr, node):
+            """(B,) entry of a per-node (B, N) array — one-hot einsum
+            (arbitrary-index gathers lower to scalar loops on TPU)."""
+            return jnp.einsum(
+                "bn,bn->b", _onehot(node, n), arr.astype(jnp.float32)
+            )
 
-            def read_node(arr, node):
-                """(B,) entry of a per-node (B, N) array."""
-                return jnp.einsum(
-                    "bn,bn->b", _onehot(node, n), arr.astype(jnp.float32)
-                )
-
-            def write_edge(flat, node, action, value, mask):
-                """flat[b, node*A+action] = value where mask (full-array)."""
-                sel = (_onehot(node, n)[:, :, None]
-                       * _onehot(action, a)[:, None, :]).reshape(batch, -1)
-                sel = (sel > 0) & mask[:, None]
-                return jnp.where(sel, value[:, None], flat)
-
-            def add_edge(flat, node, action, delta, mask):
-                sel = (_onehot(node, n)[:, :, None]
-                       * _onehot(action, a)[:, None, :]).reshape(batch, -1)
-                active = jnp.where(mask[:, None], sel, 0.0)
-                return flat + (active * delta[:, None]).astype(flat.dtype)
-
-            def write_prior_row(flat, node, row_values, mask):
-                sel = jnp.repeat(_onehot(node, n), a, axis=-1) > 0
-                sel = sel & mask[:, None]
-                tiled = jnp.tile(row_values, (1, n))
-                return jnp.where(sel, tiled, flat)
-        else:
-            # Contiguous per-node rows: vmapped dynamic slices, NOT
-            # take/put_along_axis — arbitrary-index gathers/scatters lower
-            # to scalar loops on TPU (measured 35 ms vs 4.8 ms for one
-            # (B=1024, A=1968) row read).
-            def _slice_row(flat, node):
-                return jax.vmap(
-                    lambda row, k: jax.lax.dynamic_slice(row, (k * a,), (a,))
-                )(flat, node)
-
-            def _update_row(flat, node, values):
-                return jax.vmap(
-                    lambda row, k, v: jax.lax.dynamic_update_slice(
-                        row, v, (k * a,)
-                    )
-                )(flat, node, values.astype(flat.dtype))
-
-            def read_rows(tree, node):
-                return (_slice_row(tree.prior, node),
-                        _slice_row(tree.children, node),
-                        _slice_row(tree.visits, node),
-                        _slice_row(tree.value_sum, node))
-
-            def read_node(arr, node):
-                return jax.vmap(
-                    lambda row, k: jax.lax.dynamic_slice(row, (k,), (1,))
-                )(arr.astype(jnp.float32), node)[:, 0]
-
-            def write_edge(flat, node, action, value, mask):
-                idx = node * a + action
-                cur = jax.vmap(
-                    lambda row, k: jax.lax.dynamic_slice(row, (k,), (1,))
-                )(flat, idx)
-                val = jnp.where(mask[:, None], value[:, None], cur)
-                return jax.vmap(
-                    lambda row, k, v: jax.lax.dynamic_update_slice(
-                        row, v, (k,)
-                    )
-                )(flat, idx, val.astype(flat.dtype))
-
-            def add_edge(flat, node, action, delta, mask):
-                idx = node * a + action
-                cur = jax.vmap(
-                    lambda row, k: jax.lax.dynamic_slice(row, (k,), (1,))
-                )(flat, idx)
-                val = cur + jnp.where(
-                    mask[:, None], delta[:, None], 0
-                ).astype(flat.dtype)
-                return jax.vmap(
-                    lambda row, k, v: jax.lax.dynamic_update_slice(
-                        row, v, (k,)
-                    )
-                )(flat, idx, val)
-
-            def write_prior_row(flat, node, row_values, mask):
-                cur = _slice_row(flat, node)
-                val = jnp.where(mask[:, None], row_values, cur)
-                return _update_row(flat, node, val)
-
-        def write_node(arr, node, value, mask):
-            """arr[b, node[b]] = value[b] where mask — masked full write for
-            the dense path, put_along_axis otherwise; per-node arrays are
-            (B, N) either way (tiny)."""
-            if dense:
-                sel = (_onehot(node, n) > 0) & mask[:, None]
-                return jnp.where(sel, value[:, None].astype(arr.dtype), arr)
-            cur = jax.vmap(
-                lambda row, k: jax.lax.dynamic_slice(row, (k,), (1,))
-            )(arr, node)
-            val = jnp.where(mask[:, None], value[:, None].astype(arr.dtype), cur)
-            return jax.vmap(
-                lambda row, k, v: jax.lax.dynamic_update_slice(row, v, (k,))
-            )(arr, node, val)
+        def write_col(arr, col, value, mask):
+            """arr[:, col] = value where mask, at a batch-uniform (traced
+            scalar) column — a single blended dynamic-update-slice."""
+            cur = jax.lax.dynamic_slice(arr, (0, col), (batch, 1))
+            val = jnp.where(mask[:, None], value[:, None].astype(arr.dtype),
+                            cur)
+            return jax.lax.dynamic_update_slice(arr, val, (0, col))
 
         # ---- the simulation wave -------------------------------------------
         def sim_body(i, carry):
             tree, rng = carry
             rng, knoise = jax.random.split(rng)
             root_prior = self._root_noisy_prior(
-                tree.prior[:, :a], knoise, batch
+                tree.prior[:, 0], knoise, batch
             )
+
+            # Per-wave PUCT precompute over ALL nodes (stats frozen during
+            # select; see module docstring).
+            nv, w = self._edge_stats(tree, n)
+            prior_eff = jnp.where(
+                (jnp.arange(n) == 0)[None, :, None],
+                root_prior[:, None, :],
+                tree.prior,
+            )
+            best_a = self._ucb_action(prior_eff, nv, w)  # (B, N)
+            # Child of (node, best_a[node]) via parent-match; -1 when none.
+            cmatch = (
+                tree.parent[:, :, None] == jnp.arange(n)[None, None, :]
+            ) & (
+                tree.parent_action[:, :, None] == best_a[:, None, :]
+            )  # (B, C, N)
+            best_child = jnp.max(
+                jnp.where(
+                    cmatch, jnp.arange(n)[None, :, None], UNVISITED
+                ),
+                axis=1,
+            ).astype(jnp.int32)  # (B, N)
 
             # SELECT: descend carrying the env state.
             def cond(c):
@@ -364,17 +314,13 @@ class MCTS:
 
             def body(c):
                 node, action, code, state = c
-                prior, children, nv, w = read_rows(tree, node)
-                prior = jnp.where((node == 0)[:, None], root_prior, prior)
-                best = self._ucb_action(prior, nv, w)
-                # One-hot dot picks children[best] (carries through -1).
-                child = jnp.sum(
-                    jnp.where(
-                        jax.nn.one_hot(best, a, dtype=jnp.int32) > 0,
-                        children, 0,
-                    ),
-                    axis=-1,
-                )
+                best = jnp.einsum(
+                    "bn,bn->b", _onehot(node, n), best_a.astype(jnp.float32)
+                ).astype(jnp.int32)
+                child = jnp.einsum(
+                    "bn,bn->b", _onehot(node, n),
+                    best_child.astype(jnp.float32),
+                ).astype(jnp.int32)
                 node_terminal = read_node(tree.is_terminal, node) > 0
                 node_expanded = read_node(tree.expanded, node) > 0
                 new_code = jnp.where(
@@ -411,11 +357,12 @@ class MCTS:
             )
             node, action, code, state = jax.lax.while_loop(cond, body, init)
 
-            # CREATE the selected child + EVALUATE the wave's leaves.
-            new = (code == _NEW) & (tree.node_count < n)
-            slot = tree.node_count  # (B,)
+            # CREATE the selected child in the wave's static slot ``i`` +
+            # EVALUATE the wave's leaves. (Wave 0 never creates: the root is
+            # unexpanded, so code == _UNEXPANDED and new == False.)
+            new = code == _NEW
             child_state, reward = jax.vmap(env.step)(state, action)
-            leaf = jnp.where(new, slot, node)
+            leaf = jnp.where(new, i, node)
             expand_mask = lambda x, ref: x.reshape(
                 (-1,) + (1,) * (ref.ndim - 1)
             )
@@ -433,34 +380,42 @@ class MCTS:
             probs, values = evaluate_fn(obs)
 
             tree = tree.replace(
-                parent=write_node(tree.parent, slot, node, new),
-                parent_action=write_node(tree.parent_action, slot, action, new),
-                children=write_edge(tree.children, node, action,
-                                    slot, new),
-                is_terminal=write_node(
-                    tree.is_terminal, slot, child_terminal, new
+                parent=write_col(tree.parent, i, node, new),
+                parent_action=write_col(tree.parent_action, i, action, new),
+                is_terminal=write_col(
+                    tree.is_terminal, i, child_terminal, new
                 ),
-                reward=write_node(tree.reward, slot, reward, new),
+                reward=write_col(tree.reward, i, reward, new),
                 node_count=tree.node_count + new.astype(jnp.int32),
             )
 
             # EXPAND the leaf (skip terminal / already-expanded leaves).
+            # A leaf needing expansion is always in the wave's slot: the
+            # fresh child (slot i, never expanded) or the root at wave 0
+            # (slot 0 == i). Existing-terminal leaves are excluded by `do`.
             leaf_expanded = read_node(tree.expanded, leaf) > 0
             do = ~leaf_expanded & ~leaf_terminal
             legal = jax.vmap(env.legal_mask)(leaf_state)
             renormed = self._renormalize(probs, legal)
+            prior_cur = jax.lax.dynamic_slice(tree.prior, (0, i, 0),
+                                              (batch, 1, a))
+            prior_new = jnp.where(
+                do[:, None, None], renormed[:, None, :], prior_cur
+            )
             tree = tree.replace(
-                prior=write_prior_row(tree.prior, leaf, renormed, do),
-                value_evaluated=write_node(
-                    tree.value_evaluated, leaf, values, do
+                prior=jax.lax.dynamic_update_slice(
+                    tree.prior, prior_new, (0, i, 0)
                 ),
-                expanded=write_node(
-                    tree.expanded, leaf, jnp.ones((batch,), jnp.bool_), do
+                value_evaluated=write_col(
+                    tree.value_evaluated, i, values, do
+                ),
+                expanded=write_col(
+                    tree.expanded, i, jnp.ones((batch,), jnp.bool_), do
                 ),
             )
 
-            # BACKUP along the parent chain; edge stats keyed by
-            # (parent-of-x, action-into-x). A root leaf loops zero times —
+            # BACKUP along the parent chain; the edge stats of (parent-of-x,
+            # action-into-x) live on node x. A root leaf loops zero times —
             # the reference's no-backup first simulation.
             leaf_value = jnp.where(leaf_terminal, leaf_reward, -values)
 
@@ -470,14 +425,10 @@ class MCTS:
             def bbody(c):
                 bnode, bvalue, visits, value_sum = c
                 active = bnode > 0
+                oh = _onehot(bnode, n) * active[:, None].astype(jnp.float32)
+                visits = visits + oh
+                value_sum = value_sum + oh * bvalue[:, None]
                 parent = read_node(tree.parent, bnode).astype(jnp.int32)
-                paction = read_node(tree.parent_action, bnode).astype(jnp.int32)
-                visits = add_edge(
-                    visits, parent, paction, jnp.ones((batch,)), active
-                )
-                value_sum = add_edge(
-                    value_sum, parent, paction, bvalue, active
-                )
                 bnode = jnp.where(active, parent, bnode)
                 return bnode, -bvalue, visits, value_sum
 
@@ -496,11 +447,37 @@ class MCTS:
     def root_child_visits(self, tree: Tree) -> jnp.ndarray:
         """(B, A) edge visit counts at the root (pi numerator,
         reference mcts.py:190-197)."""
-        return tree.visits[:, : self.env.num_actions]
+        a = self.env.num_actions
+        root_child = tree.parent == 0
+        am = (
+            tree.parent_action[:, :, None] == jnp.arange(a)
+        ).astype(jnp.float32)
+        return jnp.einsum(
+            "bc,bca->ba", jnp.where(root_child, tree.visits, 0.0), am
+        ).astype(jnp.int32)
+
+    def root_child_value_sums(self, tree: Tree) -> jnp.ndarray:
+        """(B, A) summed backed-up edge values at the root."""
+        a = self.env.num_actions
+        root_child = tree.parent == 0
+        am = (
+            tree.parent_action[:, :, None] == jnp.arange(a)
+        ).astype(jnp.float32)
+        return jnp.einsum(
+            "bc,bca->ba", jnp.where(root_child, tree.value_sum, 0.0), am
+        )
 
     def root_q_values(self, tree: Tree) -> jnp.ndarray:
         """(B, A) mean action values at the root (diagnostics)."""
         a = self.env.num_actions
-        nv = tree.visits[:, :a]
-        w = tree.value_sum[:, :a]
-        return jnp.where(nv > 0, w / jnp.maximum(nv, 1), 0.0)
+        root_child = tree.parent == 0
+        am = (
+            tree.parent_action[:, :, None] == jnp.arange(a)
+        ).astype(jnp.float32)
+        nv = jnp.einsum(
+            "bc,bca->ba", jnp.where(root_child, tree.visits, 0.0), am
+        )
+        w = jnp.einsum(
+            "bc,bca->ba", jnp.where(root_child, tree.value_sum, 0.0), am
+        )
+        return jnp.where(nv > 0, w / jnp.maximum(nv, 1.0), 0.0)

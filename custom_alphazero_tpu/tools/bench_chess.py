@@ -1,0 +1,73 @@
+"""Chess search throughput benchmark.
+
+CLI: python -m custom_alphazero_tpu.tools.bench_chess
+Measures MCTS simulations/s on the pure-JAX chess engine with the
+reference-scale net (depth 4, 128 filters) and with a uniform evaluator
+(isolating search+engine cost from the network forward).
+"""
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from custom_alphazero_tpu.config import ChessConfig, MCTSConfig, ModelConfig
+from custom_alphazero_tpu.envs.chess.engine import Chess
+from custom_alphazero_tpu.models.policy_value import PolicyValueNet
+from custom_alphazero_tpu.runtime.train import make_evaluate_fn
+from custom_alphazero_tpu.search.mcts import MCTS
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+SIMS = 64
+NET = ModelConfig(depth=4, filters=128, value_hidden=256)
+
+
+def measure(batch_size: int, use_net: bool = True):
+    env = Chess(ChessConfig())
+    cfg = MCTSConfig(simulations=SIMS)
+    mcts = MCTS(env, cfg)
+    if use_net:
+        net = PolicyValueNet(env.num_actions, NET)
+        variables = net.init(
+            jax.random.PRNGKey(0), jnp.zeros((1,) + env.obs_shape), train=False
+        )
+        evaluate = make_evaluate_fn(net)
+        params, stats = variables["params"], variables.get("batch_stats", {})
+    else:
+        params, stats = {}, {}
+
+    @jax.jit
+    def search(params, stats, states, rng):
+        if use_net:
+            evaluate_fn = lambda obs: evaluate(params, stats, obs)
+        else:
+            evaluate_fn = lambda obs: (
+                jnp.ones((obs.shape[0], env.num_actions)) / env.num_actions,
+                jnp.zeros((obs.shape[0],)),
+            )
+        tree = mcts.search(states, evaluate_fn, rng, SIMS)
+        return mcts.root_child_visits(tree)
+
+    states = jax.vmap(lambda _: env.init())(jnp.arange(batch_size))
+    rng = jax.random.PRNGKey(1)
+    out = search(params, stats, states, rng)
+    np.asarray(out)
+    iters = 3
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = search(params, stats, states, jax.random.PRNGKey(i))
+        np.asarray(out)
+    dt = (time.perf_counter() - t0) / iters
+    rate = batch_size * SIMS / dt
+    name = "net" if use_net else "uniform"
+    print(f"B={batch_size} [{name}]: {rate:,.0f} sims/s ({dt*1e3:.1f} ms/search)")
+    return rate
+
+
+if __name__ == "__main__":
+    for b in (64, 256, 1024):
+        measure(b, use_net=True)
+    for b in (256, 1024):
+        measure(b, use_net=False)

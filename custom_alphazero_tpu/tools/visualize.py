@@ -34,21 +34,39 @@ def _board_label(board: np.ndarray) -> str:
     return "\\n".join(rows)
 
 
-def _replay_boards(env, t: Tree, n_alloc: int) -> np.ndarray:
+def _replay_boards(env, t: Tree) -> np.ndarray:
     """Reconstruct each node's board by replaying parent-action chains from
     the root (nodes are created parent-first, so one ascending pass
-    suffices); the tree stores no per-node states by design."""
+    suffices); the tree stores no per-node states by design. Unlinked slots
+    (parent == NO_PARENT; simulations that ended on an existing terminal
+    node) get a placeholder and are never rendered."""
     import jax.numpy as jnp
 
     step = jax.jit(env.step)
     states = [jax.tree.map(jnp.asarray, t.root_state)]
     boards = [np.asarray(t.root_state.board)]
-    for i in range(1, n_alloc):
+    for i in range(1, t.parent.shape[0]):
         parent = int(t.parent[i])
+        if parent < 0:
+            states.append(states[0])
+            boards.append(boards[0])
+            continue
         child, _ = step(states[parent], jnp.int32(t.parent_action[i]))
         states.append(child)
         boards.append(np.asarray(child.board))
     return np.stack(boards)
+
+
+def _children_table(t: Tree, a_count: int) -> np.ndarray:
+    """(N, A) child-index table (UNVISITED where absent), rebuilt from the
+    parent/parent_action vectors — the tree stores no children array."""
+    n = t.parent.shape[0]
+    children = np.full((n, a_count), UNVISITED, np.int64)
+    for c in range(1, n):
+        p = int(t.parent[c])
+        if p >= 0:
+            children[p, int(t.parent_action[c])] = c
+    return children
 
 
 def tree_to_dot(
@@ -68,8 +86,8 @@ def tree_to_dot(
     both renders, visualize_mcts.py:107-117).
     """
     t = jax.tree.map(lambda leaf: np.asarray(leaf[game_index]), tree)
-    n_alloc = int(t.node_count)
-    boards = _replay_boards(env, t, n_alloc)
+    n_alloc = t.parent.shape[0]
+    boards = _replay_boards(env, t)
     a_count = env.num_actions
 
     lines = [
@@ -88,7 +106,7 @@ def tree_to_dot(
         lines.append(f'  n{i} [label="{label}{extra}"];')
 
     # BFS from the root (reference _breadth_first_edges, :37-48).
-    children_flat = t.children.reshape(-1, a_count)
+    children_flat = _children_table(t, a_count)
     priors_flat = t.prior.reshape(-1, a_count)
     queue = [0]
     visited = {0}

@@ -63,8 +63,7 @@ def test_fused_matches_general_path(impl, use_dirichlet, plies):
     mcts = MCTS(env, cfg)
     tree = jax.jit(lambda s, r: mcts.search(s, evaluate, r, sims))(states, rng)
     ref_visits = np.asarray(mcts.root_child_visits(tree))
-    a = env.num_actions
-    ref_wsum = np.asarray(tree.value_sum[:, :a])
+    ref_wsum = np.asarray(mcts.root_child_value_sums(tree))
 
     fused = impl(env, cfg, block_games=8)
     visits, wsum = jax.jit(
