@@ -132,6 +132,114 @@ def evaluate_strength(
     }
 
 
+def load_run_model(run_id: str, results_dir: str = "results",
+                   which: str = "best"):
+    """Load a run's model for evaluation: ``which`` = "best" (newest
+    promoted lineage under evaluation/iteration_N, reference
+    best_saved_model, utils.py:64-78) or "last" (training/ checkpoint,
+    reference last_saved_model, utils.py:51-61).
+
+    Returns (env, evaluate_fn, cfg, meta) where evaluate_fn(obs) ->
+    (probs, value) closes over the restored params."""
+    import os
+
+    from custom_alphazero_tpu import paths
+    from custom_alphazero_tpu.config import from_json
+    from custom_alphazero_tpu.io.checkpoint import (
+        latest_evaluation_iteration,
+        load_checkpoint,
+    )
+    from custom_alphazero_tpu.models.policy_value import PolicyValueNet
+    from custom_alphazero_tpu.runtime.train import (
+        init_train_state,
+        make_evaluate_fn,
+    )
+
+    run_dir = paths.run_path(results_dir, "connect_n", run_id)
+    with open(os.path.join(run_dir, paths.CONFIG_FILE)) as fp:
+        cfg = from_json(fp.read())
+    env = ConnectN(cfg.connect_n)
+    net = PolicyValueNet(env.num_actions, cfg.model)
+    template = init_train_state(
+        net, cfg.model, jax.random.PRNGKey(0), env.obs_shape
+    )
+    if which == "best":
+        found = latest_evaluation_iteration(
+            paths.evaluation_path(results_dir, "connect_n", run_id)
+        )
+        if found is None:
+            raise FileNotFoundError(f"No promoted model in run {run_id}")
+        state, meta = load_checkpoint(found[1], template)
+        meta["iteration"] = found[0]
+    else:
+        state, meta = load_checkpoint(
+            paths.training_path(results_dir, "connect_n", run_id), template
+        )
+    evaluate = make_evaluate_fn(net)
+    params, stats = state.params, state.batch_stats
+
+    def evaluate_fn(obs):
+        return evaluate(params, stats, obs)
+
+    return env, evaluate_fn, cfg, meta
+
+
+def labeled_policy_accuracy(evaluate_fn, labels_npz: str) -> dict:
+    """Raw-policy oracle accuracy on a precomputed solver-labeled position
+    set (tools/distill.py labeled_dataset output) — a fast strength probe
+    that needs no solver calls at evaluation time."""
+    data = np.load(labels_npz)
+    obs, optimal, z = data["obs"], data["optimal"], data["z"]
+    probs, value = jax.device_get(
+        jax.jit(evaluate_fn)(jnp.asarray(obs))
+    )
+    legal = obs[:, 0, :, 1] + obs[:, 0, :, 2] == 0
+    choice = np.where(legal, probs, -1.0).argmax(-1)
+    pred_cat = np.where(value > 1 / 3, 1, np.where(value < -1 / 3, -1, 0))
+    return {
+        "move_accuracy": float(optimal[np.arange(len(choice)), choice].mean()),
+        "value_accuracy": float((pred_cat == np.sign(z)).mean()),
+        "positions": int(len(obs)),
+    }
+
+
+def main(argv=None):
+    """CLI: oracle-score a run's model.
+
+    python -m custom_alphazero_tpu.tools.strength --run_id=demo \\
+        [--which=best|last] [--games=20] [--sims=250] [--opponent=random] \\
+        [--raw_policy=false] [--labels=/path/to/labels.npz]
+    """
+    import sys
+
+    args = dict(a.split("=", 1) for a in (argv or sys.argv[1:]))
+    run_id = args["--run_id"]
+    env, evaluate_fn, cfg, meta = load_run_model(
+        run_id, args.get("--results_dir", "results"),
+        args.get("--which", "best"),
+    )
+    print(f"Loaded {args.get('--which', 'best')} model of run {run_id} "
+          f"(steps={meta.get('steps')}, iteration={meta.get('iteration')})")
+    if "--labels" in args:
+        acc = labeled_policy_accuracy(evaluate_fn, args["--labels"])
+        print(f"labeled-set raw policy: {acc}")
+    sims = int(args.get("--sims", cfg.mcts.simulations))
+    report = evaluate_strength(
+        env,
+        evaluate_fn,
+        num_games=int(args.get("--games", 20)),
+        use_mcts=args.get("--raw_policy", "false").lower() not in
+        ("1", "true"),
+        mcts_cfg=MCTSConfig(simulations=sims),
+        opponent=args.get("--opponent", "random"),
+        seed=int(args.get("--seed", 0)),
+    )
+    results = report.pop("results")
+    wdl = (sum(r == 1 for r in results), sum(r == 0 for r in results),
+           sum(r == -1 for r in results))
+    print(f"strength: {report}  W/D/L={wdl}")
+
+
 def score_arena_log(log, min_ply: int = 8, max_positions: int = 200,
                     seed: int = 0,
                     solver: Optional[sv.ConnectFourSolver] = None) -> float:
@@ -177,3 +285,7 @@ def score_arena_log(log, min_ply: int = 8, max_positions: int = 200,
                     pass
             board, _ = sv.play_canonical(board, col)
     return float(np.mean(scores)) if scores else 0.0
+
+
+if __name__ == "__main__":
+    main()
