@@ -59,6 +59,10 @@ class MCTSConfig:
     use_solver: bool = False
     # Maximum tree nodes per move; 0 means simulations + 1 (fresh tree).
     max_nodes: int = 0
+    # Per-node stored prior width for large action spaces: 0 = auto
+    # (min(simulations, A) — exact, see search/mcts.py), -1 = full width,
+    # > 0 = explicit top-K.
+    topk_actions: int = 0
 
 
 @dataclass(frozen=True)

@@ -65,6 +65,31 @@ TPU performance design (shaped by trace analysis on a v5e chip):
 Child states are materialized lazily (one new node per simulation) instead
 of all-at-once at expansion — identical search behavior, and O(simulations)
 instead of O(simulations * actions) tree growth.
+
+- **Top-K prior compression for large action spaces.** At chess scale
+  (A = 1968) the per-wave (B, N, A) tensors are the wall: edge-stat
+  reconstruction + PUCT scoring materialize ~GBs of HBM traffic per wave at
+  B = 1024. But PUCT creates new children at a node in a *predictable prior
+  order*: the first child is the lowest-index legal action (zero sibling
+  visits make sqrt(sum N) = 0, so every legal action ties at score 0 and
+  argmax picks the lowest index — a reference quirk, mcts.py:45-68), and
+  every later child is the highest-prior remaining action (an unvisited
+  edge scores c*P*sqrt(sum N), monotone in P). A search of S simulations
+  creates at most S-1 children under any one node — so a non-root node only
+  ever uses its lowest legal action plus its top-(S-2) priors. When
+  K = min(S, A) < A the tree stores per-node (K,) prior values + action ids
+  (slot 0 = the lowest legal action, slots 1.. = lax.top_k of the rest at
+  expansion), edge stats and scores shrink to (B, N, K), and score argmaxes
+  break ties toward the lowest action id exactly like full width. The
+  ROOT is the exception (Dirichlet noise is re-sampled every simulation and
+  reorders the mix), so the root keeps a full (A,) prior row and full-width
+  (A,) edge statistics maintained *incrementally* by backup (the root edge
+  of each wave's path is its selected root action) — per-wave root scoring
+  is then (B, A) elementwise work with no (B, C, A) reconstruction. The
+  compression is exact — searches are bit-identical to the full-width path
+  (same RNG stream, same tie-breaks) — except for measure-zero float-score
+  ties between *different* prior values, where the full path breaks toward
+  the lower action index and the compressed path toward the higher prior.
 """
 
 from __future__ import annotations
@@ -129,6 +154,17 @@ class Tree:
     reward: jnp.ndarray
     value_evaluated: jnp.ndarray
     node_count: jnp.ndarray
+    # Top-K compressed layout only (None when prior is full-width (N, A)):
+    # prior is (N, K) values; prior_acts (N, K) are the matching action ids;
+    # parent_slot (N,) is the node's slot in its parent's top-K row (-1 for
+    # root children — they match through parent_action instead); root_prior
+    # (A,) is the root's full prior row; root_visits / root_value_sum (A,)
+    # are the root's full-width edge stats, maintained incrementally.
+    prior_acts: Optional[jnp.ndarray] = None
+    parent_slot: Optional[jnp.ndarray] = None
+    root_prior: Optional[jnp.ndarray] = None
+    root_visits: Optional[jnp.ndarray] = None
+    root_value_sum: Optional[jnp.ndarray] = None
 
 
 def _onehot(idx: jnp.ndarray, size: int) -> jnp.ndarray:
@@ -148,16 +184,40 @@ class MCTS:
 
     # -- tree construction -------------------------------------------------
 
-    def init_tree(self, root_state, num_nodes: int) -> Tree:
+    def prior_width(self, simulations: int) -> int:
+        """K of the stored per-node prior rows: the full action space, or
+        min(simulations, A) under top-K compression (see module docstring).
+        cfg.topk_actions: 0 = auto, -1 = force full width, > 0 = explicit
+        (exact as long as it is >= min(simulations, A))."""
+        a = self.env.num_actions
+        if self.cfg.topk_actions < 0:
+            return a
+        if self.cfg.topk_actions > 0:
+            return min(self.cfg.topk_actions, a)
+        return min(simulations, a)
+
+    def init_tree(self, root_state, num_nodes: int,
+                  prior_width: Optional[int] = None) -> Tree:
         """Allocate a single-game tree with the root at node 0 (vmap me)."""
         env, n, a = self.env, num_nodes, self.env.num_actions
+        k = a if prior_width is None else prior_width
+        compressed = k < a
         return Tree(
             root_state=root_state,
             parent=jnp.full((n,), NO_PARENT, jnp.int32),
             parent_action=jnp.zeros((n,), jnp.int32),
             visits=jnp.zeros((n,), jnp.float32),
             value_sum=jnp.zeros((n,), jnp.float32),
-            prior=jnp.zeros((n, a), jnp.float32),
+            prior=jnp.zeros((n, k), jnp.float32),
+            prior_acts=jnp.zeros((n, k), jnp.int32) if compressed else None,
+            parent_slot=(
+                jnp.full((n,), UNVISITED, jnp.int32) if compressed else None
+            ),
+            root_prior=jnp.zeros((a,), jnp.float32) if compressed else None,
+            root_visits=jnp.zeros((a,), jnp.float32) if compressed else None,
+            root_value_sum=(
+                jnp.zeros((a,), jnp.float32) if compressed else None
+            ),
             expanded=jnp.zeros((n,), jnp.bool_),
             is_terminal=jnp.zeros((n,), jnp.bool_)
             .at[0]
@@ -173,8 +233,13 @@ class MCTS:
 
     # -- shared pieces -----------------------------------------------------
 
-    def _ucb_action(self, prior, nv, w):
-        """(..., A) PUCT argmax with reference scoring and tie-breaks."""
+    def _ucb_scores(self, prior, nv, w):
+        """(..., A or K) PUCT scores with reference semantics: Q = W/N (0
+        unvisited), U = c*P*sqrt(sum sibling N)/(1+N); illegal/empty slots
+        score -inf. Note the reference quirk this preserves: at a node whose
+        children have zero total visits, sqrt(0) kills the prior term and
+        ALL legal actions tie at 0 — argmax then picks the lowest legal
+        action index, NOT the highest prior (mcts.py:45-55,64-68)."""
         cfg = self.cfg
         neg_inf = jnp.finfo(jnp.float32).min
         nv_f = nv.astype(jnp.float32)
@@ -185,8 +250,13 @@ class MCTS:
             * jnp.sqrt(jnp.sum(nv_f, axis=-1, keepdims=True))
             / (1.0 + nv_f)
         )
-        score = jnp.where(prior > 0, q + u, neg_inf)
-        return jnp.argmax(score, axis=-1).astype(jnp.int32)
+        return jnp.where(prior > 0, q + u, neg_inf)
+
+    def _ucb_action(self, prior, nv, w):
+        """(..., A) PUCT argmax; np.argmax tie-break toward lower index."""
+        return jnp.argmax(
+            self._ucb_scores(prior, nv, w), axis=-1
+        ).astype(jnp.int32)
 
     def _renormalize(self, probs, legal):
         """Legal-masked renormalized priors with the uniform fallback
@@ -259,9 +329,13 @@ class MCTS:
         num_nodes = max(self.cfg.max_nodes, simulations)
         batch = jax.tree.leaves(root_states)[0].shape[0]
         env, a_count = self.env, self.env.num_actions
-        tree = jax.vmap(lambda s: self.init_tree(s, num_nodes))(root_states)
+        k_width = self.prior_width(simulations)
+        compressed = k_width < a_count
+        tree = jax.vmap(lambda s: self.init_tree(s, num_nodes, k_width))(
+            root_states
+        )
 
-        n, a = num_nodes, a_count
+        n, a, k = num_nodes, a_count, k_width
 
         def read_node(arr, node):
             """(B,) entry of a per-node (B, N) array — one-hot einsum
@@ -282,31 +356,91 @@ class MCTS:
         def sim_body(i, carry):
             tree, rng = carry
             rng, knoise = jax.random.split(rng)
-            root_prior = self._root_noisy_prior(
-                tree.prior[:, 0], knoise, batch
+            raw_root_prior = (
+                tree.root_prior if compressed else tree.prior[:, 0]
             )
+            root_prior = self._root_noisy_prior(raw_root_prior, knoise, batch)
 
             # Per-wave PUCT precompute over ALL nodes (stats frozen during
             # select; see module docstring).
-            nv, w = self._edge_stats(tree, n)
-            prior_eff = jnp.where(
-                (jnp.arange(n) == 0)[None, :, None],
-                root_prior[:, None, :],
-                tree.prior,
-            )
-            best_a = self._ucb_action(prior_eff, nv, w)  # (B, N)
-            # Child of (node, best_a[node]) via parent-match; -1 when none.
-            cmatch = (
-                tree.parent[:, :, None] == jnp.arange(n)[None, None, :]
-            ) & (
-                tree.parent_action[:, :, None] == best_a[:, None, :]
-            )  # (B, C, N)
-            best_child = jnp.max(
-                jnp.where(
-                    cmatch, jnp.arange(n)[None, :, None], UNVISITED
-                ),
-                axis=1,
-            ).astype(jnp.int32)  # (B, N)
+            if compressed:
+                # Non-root nodes: (B, N, K) stats matched by (parent,
+                # parent_slot); root children carry parent_slot = -1 and
+                # match nothing (column 0 is overwritten below).
+                pm = (
+                    tree.parent[:, :, None] == jnp.arange(n)
+                ).astype(jnp.float32)
+                sm = (
+                    tree.parent_slot[:, :, None] == jnp.arange(k)
+                ).astype(jnp.float32)
+                stacked = jnp.concatenate(
+                    [
+                        sm * tree.visits[:, :, None],
+                        sm * tree.value_sum[:, :, None],
+                    ],
+                    axis=-1,
+                )  # (B, C, 2K)
+                out = jnp.einsum("bcn,bck->bnk", pm, stacked)
+                nv_k, w_k = out[..., :k], out[..., k:]
+                # Score ties break toward the lowest ACTION index (full-width
+                # argmax semantics), not the lowest slot: pick the smallest
+                # tied action, then recover its slot.
+                score_k = self._ucb_scores(tree.prior, nv_k, w_k)  # (B, N, K)
+                tied = score_k == jnp.max(score_k, axis=-1, keepdims=True)
+                best_a = jnp.min(
+                    jnp.where(tied, tree.prior_acts, a), axis=-1
+                ).astype(jnp.int32)  # (B, N)
+                best_k = jnp.argmax(
+                    tied & (tree.prior_acts == best_a[..., None]), axis=-1
+                ).astype(jnp.int32)  # (B, N)
+                # Root: full-width (B, A) elementwise scoring off the
+                # incrementally-maintained root stats.
+                root_best = self._ucb_action(
+                    root_prior, tree.root_visits, tree.root_value_sum
+                )  # (B,)
+                best_a = best_a.at[:, 0].set(root_best)
+                cmatch = (
+                    tree.parent[:, :, None] == jnp.arange(n)[None, None, :]
+                ) & (
+                    tree.parent_slot[:, :, None] == best_k[:, None, :]
+                )  # (B, C, N)
+                best_child = jnp.max(
+                    jnp.where(
+                        cmatch, jnp.arange(n)[None, :, None], UNVISITED
+                    ),
+                    axis=1,
+                ).astype(jnp.int32)  # (B, N)
+                root_child = jnp.max(
+                    jnp.where(
+                        (tree.parent == 0)
+                        & (tree.parent_action == root_best[:, None]),
+                        jnp.arange(n)[None, :],
+                        UNVISITED,
+                    ),
+                    axis=1,
+                ).astype(jnp.int32)  # (B,)
+                best_child = best_child.at[:, 0].set(root_child)
+            else:
+                nv, w = self._edge_stats(tree, n)
+                prior_eff = jnp.where(
+                    (jnp.arange(n) == 0)[None, :, None],
+                    root_prior[:, None, :],
+                    tree.prior,
+                )
+                best_a = self._ucb_action(prior_eff, nv, w)  # (B, N)
+                best_k = None
+                # Child of (node, best_a[node]) via parent-match; -1 if none.
+                cmatch = (
+                    tree.parent[:, :, None] == jnp.arange(n)[None, None, :]
+                ) & (
+                    tree.parent_action[:, :, None] == best_a[:, None, :]
+                )  # (B, C, N)
+                best_child = jnp.max(
+                    jnp.where(
+                        cmatch, jnp.arange(n)[None, :, None], UNVISITED
+                    ),
+                    axis=1,
+                ).astype(jnp.int32)  # (B, N)
 
             # SELECT: descend carrying the env state.
             def cond(c):
@@ -388,6 +522,20 @@ class MCTS:
                 reward=write_col(tree.reward, i, reward, new),
                 node_count=tree.node_count + new.astype(jnp.int32),
             )
+            if compressed:
+                # Slot of the new child in its parent's top-K row (-1 for
+                # root children — they match through parent_action).
+                sel_slot = jnp.where(
+                    node == 0,
+                    UNVISITED,
+                    jnp.einsum(
+                        "bn,bn->b", _onehot(node, n),
+                        best_k.astype(jnp.float32),
+                    ).astype(jnp.int32),
+                )
+                tree = tree.replace(
+                    parent_slot=write_col(tree.parent_slot, i, sel_slot, new)
+                )
 
             # EXPAND the leaf (skip terminal / already-expanded leaves).
             # A leaf needing expansion is always in the wave's slot: the
@@ -397,15 +545,60 @@ class MCTS:
             do = ~leaf_expanded & ~leaf_terminal
             legal = jax.vmap(env.legal_mask)(leaf_state)
             renormed = self._renormalize(probs, legal)
-            prior_cur = jax.lax.dynamic_slice(tree.prior, (0, i, 0),
-                                              (batch, 1, a))
-            prior_new = jnp.where(
-                do[:, None, None], renormed[:, None, :], prior_cur
-            )
+            if compressed:
+                # A node's first child is its lowest-index legal action (the
+                # zero-sibling-visits tie, _ucb_scores docstring) — which may
+                # not be a top-K prior. Boost it above every prior so it owns
+                # slot 0 (top_k dedups it from the rest), then restore its
+                # true prior value; slots 1.. are the remaining top (K-1)
+                # priors in descending order, ties toward lower action ids.
+                a0 = jnp.argmax(legal, axis=-1)  # lowest legal index
+                a0_oh = (jnp.arange(a)[None, :] == a0[:, None])
+                boosted = renormed + a0_oh.astype(jnp.float32) * 2.0
+                top_vals, top_acts = jax.lax.top_k(boosted, k)
+                p0 = jnp.einsum(
+                    "ba,ba->b", a0_oh.astype(jnp.float32), renormed
+                )
+                top_vals = jnp.where(
+                    jnp.arange(k)[None, :] == 0, p0[:, None], top_vals
+                )
+                prior_cur = jax.lax.dynamic_slice(
+                    tree.prior, (0, i, 0), (batch, 1, k)
+                )
+                acts_cur = jax.lax.dynamic_slice(
+                    tree.prior_acts, (0, i, 0), (batch, 1, k)
+                )
+                prior_new = jnp.where(
+                    do[:, None, None], top_vals[:, None, :], prior_cur
+                )
+                acts_new = jnp.where(
+                    do[:, None, None], top_acts[:, None, :], acts_cur
+                )
+                # The root's full prior row (wave 0 expands the root).
+                expand_root = do & (leaf == 0)
+                tree = tree.replace(
+                    prior=jax.lax.dynamic_update_slice(
+                        tree.prior, prior_new, (0, i, 0)
+                    ),
+                    prior_acts=jax.lax.dynamic_update_slice(
+                        tree.prior_acts, acts_new, (0, i, 0)
+                    ),
+                    root_prior=jnp.where(
+                        expand_root[:, None], renormed, tree.root_prior
+                    ),
+                )
+            else:
+                prior_cur = jax.lax.dynamic_slice(tree.prior, (0, i, 0),
+                                                  (batch, 1, a))
+                prior_new = jnp.where(
+                    do[:, None, None], renormed[:, None, :], prior_cur
+                )
+                tree = tree.replace(
+                    prior=jax.lax.dynamic_update_slice(
+                        tree.prior, prior_new, (0, i, 0)
+                    ),
+                )
             tree = tree.replace(
-                prior=jax.lax.dynamic_update_slice(
-                    tree.prior, prior_new, (0, i, 0)
-                ),
                 value_evaluated=write_col(
                     tree.value_evaluated, i, values, do
                 ),
@@ -423,20 +616,40 @@ class MCTS:
                 return jnp.any(c[0] > 0)
 
             def bbody(c):
-                bnode, bvalue, visits, value_sum = c
+                bnode, bvalue, visits, value_sum, root_val, root_hit = c
                 active = bnode > 0
                 oh = _onehot(bnode, n) * active[:, None].astype(jnp.float32)
                 visits = visits + oh
                 value_sum = value_sum + oh * bvalue[:, None]
                 parent = read_node(tree.parent, bnode).astype(jnp.int32)
+                # The iteration whose node is a root child carries the root
+                # edge's backed-up value (compressed root-stat bookkeeping).
+                is_root_edge = active & (parent == 0)
+                root_val = jnp.where(is_root_edge, bvalue, root_val)
+                root_hit = root_hit | is_root_edge
                 bnode = jnp.where(active, parent, bnode)
-                return bnode, -bvalue, visits, value_sum
+                return bnode, -bvalue, visits, value_sum, root_val, root_hit
 
-            _, _, visits, value_sum = jax.lax.while_loop(
+            _, _, visits, value_sum, root_val, root_hit = jax.lax.while_loop(
                 bcond, bbody,
-                (leaf, leaf_value, tree.visits, tree.value_sum),
+                (
+                    leaf, leaf_value, tree.visits, tree.value_sum,
+                    jnp.zeros((batch,), jnp.float32),
+                    jnp.zeros((batch,), jnp.bool_),
+                ),
             )
             tree = tree.replace(visits=visits, value_sum=value_sum)
+            if compressed:
+                # The root edge of this wave's path is always the root's
+                # selected action (best_a[:, 0]).
+                roh = _onehot(best_a[:, 0], a) * root_hit[:, None].astype(
+                    jnp.float32
+                )
+                tree = tree.replace(
+                    root_visits=tree.root_visits + roh,
+                    root_value_sum=tree.root_value_sum
+                    + roh * root_val[:, None],
+                )
             return tree, rng
 
         tree, _ = jax.lax.fori_loop(0, simulations, sim_body, (tree, rng))

@@ -107,7 +107,17 @@ def tree_to_dot(
 
     # BFS from the root (reference _breadth_first_edges, :37-48).
     children_flat = _children_table(t, a_count)
-    priors_flat = t.prior.reshape(-1, a_count)
+    if t.prior.shape[-1] != a_count:
+        # Top-K compressed tree (search/mcts.py): scatter the per-node
+        # (K,) value/action rows back to full width; the root keeps its
+        # full row in root_prior.
+        priors_flat = np.zeros((n_alloc, a_count), np.float32)
+        np.put_along_axis(
+            priors_flat, np.asarray(t.prior_acts), np.asarray(t.prior), -1
+        )
+        priors_flat[0] = np.asarray(t.root_prior)
+    else:
+        priors_flat = t.prior.reshape(-1, a_count)
     queue = [0]
     visited = {0}
     while queue and len(emitted) < max_nodes:
