@@ -256,71 +256,146 @@ def _legal_mask(flat: jnp.ndarray, castling, ep_file):
         | pawn_push | pawn_double | pawn_capture | promo_push | promo_capture
     )
 
+    # ---- position analysis: checkers, pins, attack map --------------------
+    # One O(64)-sized analysis instead of a post-move attack query per
+    # action (the per-action patched-ray pass materialized ~450 KB/position
+    # of (A, 8, 7) tensors — ~12 GB of HBM traffic per step at batch 1024):
+    # classic movegen decomposition into checker set + check-resolution
+    # squares + absolute pins + an enemy attack map for king moves.
     king_sq = jnp.argmax(flat == T.KING)
     at = _AttackTables(ff)
-    in_check = _attacked_dyn(at, king_sq)
+    koh = (_IOTA64 == king_sq).astype(jnp.float32)
+    pick = lambda W: jnp.tensordot(koh, W, axes=([0], [0]))
+    kn_v = pick(at.knight)       # (8,) values at knight-attack origins
+    pw_v = pick(at.pawn)         # (2,) values at opposing-pawn origins
+    ray_v = pick(at.ray)         # (8, 7) values along the king's rays
+    ray_s = pick(_RAY_TF)        # (8, 7) square ids (-1 off-board)
+    g_ray = pick(_G_RAY)         # (8, 7, 64) one-hot rows of ray squares
+    g_kn = pick(_G_KNIGHT)       # (8, 64)
+    g_pw = pick(_G_PAWN)         # (2, 64)
+
+    on = ray_s >= 0
+    occ = (ray_v != 0) & on
+    before = jnp.cumsum(occ.astype(jnp.int32), axis=-1) - occ.astype(
+        jnp.int32
+    )  # occupied squares strictly nearer the king on the same ray
+    first = occ & (before == 0)
+    slider_kind = jnp.where(
+        _DIAG_COL,
+        (ray_v == -T.BISHOP) | (ray_v == -T.QUEEN),
+        (ray_v == -T.ROOK) | (ray_v == -T.QUEEN),
+    )
+    slider_chk = first & slider_kind                    # (8, 7)
+    ray_has_chk = jnp.any(slider_chk, axis=-1)          # (8,)
+    kn_chk = kn_v == -T.KNIGHT                          # (8,)
+    pw_chk = pw_v == -T.PAWN                            # (2,)
+    nch = (
+        jnp.sum(kn_chk) + jnp.sum(pw_chk) + jnp.sum(ray_has_chk)
+    ).astype(jnp.int32)
+    in_check = nch >= 1
+
+    # Check-resolution squares (single check): capture the checker or block
+    # the checking ray — the ray squares up to and including its first hit,
+    # or the knight/pawn checker's square.
+    seg = ((before == 0) & on & ray_has_chk[:, None]).astype(jnp.float32)
+    resolve = (
+        jnp.einsum("dk,dkx->x", seg, g_ray)
+        + jnp.einsum("d,dx->x", kn_chk.astype(jnp.float32), g_kn)
+        + jnp.einsum("d,dx->x", pw_chk.astype(jnp.float32), g_pw)
+    ) > 0                                               # (64,)
+
+    # Absolute pins: on each king ray, a first-own piece with an enemy
+    # slider of matching kind immediately behind it is pinned to the ray's
+    # line (axis d % 4).
+    first_own = first & (ray_v > 0)                     # (8, 7)
+    pinner = occ & (before == 1) & slider_kind          # (8, 7)
+    d_pinned = (
+        jnp.any(first_own, axis=-1) & jnp.any(pinner, axis=-1)
+    ).astype(jnp.float32)                               # (8,)
+    pin_src = first_own.astype(jnp.float32) * d_pinned[:, None]
+    pinned = jnp.einsum("dk,dkx->x", pin_src, g_ray) > 0        # (64,)
+    axis_of_d = (jnp.arange(8) % 4).astype(jnp.float32)
+    pin_axis = jnp.einsum(
+        "dk,dkx->x", pin_src * axis_of_d[:, None], g_ray
+    )                                                   # (64,) f32 axis id
+
+    # Enemy attack map with our king removed (a king stepping away along a
+    # checking ray must still count as attacked), for all 64 squares at once.
+    ray_no_king = jnp.where(_RAY_TF == king_sq, 0.0, at.ray)
+    attacked64 = _attack_query(
+        at.knight, at.king, at.pawn, ray_no_king, _RAY_TF
+    ).astype(jnp.float32)                               # (64,)
+
+    # ---- per-action assembly (all (A,) vectors) ---------------------------
+    pinned_from = _read(_M_FROM, pinned.astype(jnp.float32)) > 0
+    axis_from = _read(_M_FROM, pin_axis)
+    resolve_to = _read(_M_TO, resolve.astype(jnp.float32)) > 0
+    attacked_to = _read(_M_TO, attacked64) > 0
+
+    is_king_act = piece == T.KING
+    ok_pin = ~pinned_from | (
+        ~_IS_KNIGHT & (_DIR >= 0) & ((_DIR % 4) == axis_from)
+    )
+    ok_check = (nch == 0) | resolve_to
+    nonking_legal = pseudo & ~is_king_act & (nch <= 1) & ok_check & ok_pin
+    king_legal = pseudo & is_king_act & ~attacked_to
+
+    # En-passant captures get a direct post-move verdict (≤ 2 candidate
+    # from-squares): the generic pin/resolve rules miss the double-vacancy
+    # rank exposure and rays opened through the *captured* pawn's square.
+    ep_target = jnp.where(ep_file >= 0, 5 * 8 + ep_file, -100)
+    is_ep = (
+        (piece == T.PAWN) & (_PROMO == 0) & diag_dir & (_DIST == 1)
+        & (_TO == ep_target)
+    )
+    cap_sq = 4 * 8 + jnp.maximum(ep_file, 0)
+
+    def ep_safe_from(frm_sq):
+        """King not attacked after (frm vacated, captured pawn removed,
+        target pawn placed) — patched slider rays + pawn-checker filter."""
+        rv = ray_v
+        rv = jnp.where((ray_s == frm_sq) | (ray_s == cap_sq), 0.0, rv)
+        rv = jnp.where(ray_s == ep_target, float(T.PAWN), rv)
+        occ2 = (rv != 0) & on
+        bef2 = jnp.cumsum(occ2.astype(jnp.int32), -1) - occ2.astype(jnp.int32)
+        sl2 = jnp.where(
+            _DIAG_COL,
+            (rv == -T.BISHOP) | (rv == -T.QUEEN),
+            (rv == -T.ROOK) | (rv == -T.QUEEN),
+        )
+        slide_hit = jnp.any(occ2 & (bef2 == 0) & sl2)
+        pw_hit = jnp.any(pw_chk & (pick(_OPP_PAWN_TF) != cap_sq))
+        kn_hit = jnp.any(kn_chk)
+        return ~(slide_hit | pw_hit | kn_hit)
+
+    ep_safe_l = ep_safe_from(cap_sq - 1)
+    ep_safe_r = ep_safe_from(cap_sq + 1)
+    ep_legal = pseudo & jnp.where(
+        _FROM == cap_sq - 1, ep_safe_l,
+        jnp.where(_FROM == cap_sq + 1, ep_safe_r, False),
+    )
+
+    legal = jnp.where(
+        is_ep, ep_legal, jnp.where(is_king_act, king_legal, nonking_legal)
+    )
 
     # Castling: rights + empty path + king not crossing attacked squares.
+    # OR-ed into e1g1/e1c1 (those action ids are ALSO ordinary slider moves
+    # when a queen/rook sits on e1 — never overwrite them).
     def castle_ok(right, empties, cross):
         empty_ok = jnp.asarray(True)
         for sq in empties:
             empty_ok &= flat[sq] == 0
         safe = ~in_check
         for sq in cross:
-            safe &= ~_attacked_static(at, sq)
+            safe &= attacked64[sq] == 0
         return right & empty_ok & safe & (flat[T.E1] == T.KING)
 
     castle_k = castle_ok(castling[0], [T.F1, T.G1], [T.F1, T.G1])
     castle_q = castle_ok(castling[1], [T.B1, T.C1, T.D1], [T.D1, T.C1])
-    pseudo = pseudo.at[T.CASTLE_K].set(castle_k)
-    pseudo = pseudo.at[T.CASTLE_Q].set(castle_q)
-
-    # King safety: the post-move board is never materialized. For each
-    # action, the squares its attack query inspects (king rays, knight/pawn/
-    # king origins) are read with two one-hot matmuls (values + square ids,
-    # selected by the post-move king square) and patched with the move's
-    # cell deltas (from vacated, ep pawn removed, castle rook slid, target
-    # replaced) — O(~70) cells per action instead of 64 board copies, and
-    # zero gathers.
-    frm_all, to_all = _FROM, _TO
-    ep_cap_all = (
-        (piece == T.PAWN) & (frm_all % 8 != to_all % 8) & (to_val == 0)
-    )
-    ep_removed = to_all - 8
-    moved_piece = jnp.where(_PROMO > 0, _PROMO, piece.astype(jnp.int32))
-    is_ck = (piece == T.KING) & (frm_all == T.E1) & (to_all == T.G1)
-    is_cq = (piece == T.KING) & (frm_all == T.E1) & (to_all == T.C1)
-    ksq_after = jnp.where(piece == T.KING, to_all, king_sq)
-
-    k_oh = (_IOTA64[None, :] == ksq_after[:, None]).astype(jnp.float32)
-
-    def rows(W):
-        """(A, ...) rows of a per-king-square table W (64, ...)."""
-        return jnp.tensordot(k_oh, W, axes=([1], [0]))
-
-    def patched(sq, vals, extra=None):
-        """Post-move board values at squares `sq` (A, ...), starting from
-        the pre-move values `vals` (0 at sq == -1 by construction)."""
-        def bx(x):
-            return x.reshape((A,) + (1,) * (sq.ndim - 1))
-
-        v = vals
-        v = jnp.where(sq == bx(frm_all), 0, v)
-        v = jnp.where(bx(ep_cap_all) & (sq == bx(ep_removed)), 0, v)
-        v = jnp.where(bx(is_ck) & (sq == T.H1), 0, v)
-        v = jnp.where(bx(is_ck) & (sq == T.F1), T.ROOK, v)
-        v = jnp.where(bx(is_cq) & (sq == T.A1), 0, v)
-        v = jnp.where(bx(is_cq) & (sq == T.D1), T.ROOK, v)
-        v = jnp.where(sq == bx(to_all), bx(moved_piece), v)
-        return jnp.where(sq >= 0, v, 0)
-
-    kn = patched(rows(_KNIGHT_TF), rows(at.knight))     # (A, 8)
-    kg = patched(rows(_KING_TF), rows(at.king))         # (A, 8)
-    pw = patched(rows(_OPP_PAWN_TF), rows(at.pawn))     # (A, 2)
-    ray_sqs = rows(_RAY_TF)                             # (A, 8, 7)
-    ray_vals = patched(ray_sqs, rows(at.ray))
-    safe = ~_attack_query(kn, kg, pw, ray_vals, ray_sqs)
-    return pseudo & safe, in_check
+    legal = legal.at[T.CASTLE_K].set(legal[T.CASTLE_K] | castle_k)
+    legal = legal.at[T.CASTLE_Q].set(legal[T.CASTLE_Q] | castle_q)
+    return legal, in_check
 
 
 def _xor_reduce(x: jnp.ndarray, axis: int) -> jnp.ndarray:

@@ -211,3 +211,15 @@ def test_vmapped_batch():
     assert (np.asarray(rewards) == 0).all()
     masks = np.asarray(stepped.legal)
     assert (masks.sum(-1) == 20).all()  # black has 20 replies to any of these
+
+
+def test_castle_action_ids_still_normal_slider_moves():
+    """e1g1/e1c1 are ordinary slider moves when a non-king piece sits on e1
+    (the castle legality must OR into those action ids, not overwrite them).
+    Regression: a queen on e1 could not play Qg1/Qc1."""
+    env = Chess()
+    state = env.from_fen("4k3/8/8/8/8/8/8/4Q2K w - - 0 1")
+    legal = np.asarray(env.legal_mask(state))
+    assert legal[T.CASTLE_K], "Qe1-g1 must be legal"
+    assert legal[T.CASTLE_Q], "Qe1-c1 must be legal"
+    assert int(legal.sum()) == 23  # 20 queen moves + 3 king moves
