@@ -84,7 +84,9 @@ class TorchPolicyValueNet(nn.Module):
 
 
 def _to_torch(x) -> torch.Tensor:
-    return torch.from_numpy(np.asarray(x, dtype=np.float32))
+    # Copy: jax buffers arrive as non-writable numpy views, which torch
+    # cannot safely wrap (it warns and later writes would be UB).
+    return torch.from_numpy(np.array(x, dtype=np.float32))
 
 
 def _load_conv_block(block: TorchConvBlock, params: Any, stats: Any) -> None:
