@@ -1,0 +1,73 @@
+"""End-to-end actor-learner loop test (runtime/loop.py): a tiny real run on
+the CPU mesh — self-play generations, training iterations, arena gating,
+checkpointing — then resume, and model loading through the strength tool."""
+
+import numpy as np
+import pytest
+
+from custom_alphazero_tpu.config import Config, apply_overrides
+
+
+def _tiny_cfg(tmp_path, run_id, generations):
+    overrides = {
+        "mcts.simulations": "8",
+        "self_play.games_per_generation": "8",
+        "model.depth": "1",
+        "model.filters": "8",
+        "model.value_hidden": "16",
+        "model.batch_size": "16",
+        "replay.capacity": "2000",
+        "replay.min_size": "32",
+        "loop.train_iterations_per_generation": "2",
+        "loop.generations": str(generations),
+        "loop.samples_checkpoint_frequency": "2",
+        "arena.games": "8",
+        "arena.evaluation_frequency": "4",
+        "arena.checkpoint_frequency": "4",
+        "run.results_dir": str(tmp_path),
+        "run.run_id": run_id,
+    }
+    return apply_overrides(Config(), overrides)
+
+
+@pytest.mark.slow
+def test_loop_end_to_end_and_resume(tmp_path):
+    from custom_alphazero_tpu.runtime.loop import run
+    from custom_alphazero_tpu.tools.strength import (
+        labeled_policy_accuracy,
+        load_run_model,
+    )
+
+    summary = run(_tiny_cfg(tmp_path, "t1", 3))
+    assert summary["iterations"] == 6
+    assert summary["last_arena_score"] is not None
+
+    # Resume: steps continue from the checkpoint, not from zero.
+    summary2 = run(_tiny_cfg(tmp_path, "t1", 2))
+    assert summary2["iterations"] > 6
+
+    # The training checkpoint loads through the strength tool; an arena
+    # checkpoint (winner lineage) exists and loads as "best".
+    env, evaluate_fn, cfg, meta = load_run_model(
+        "t1", str(tmp_path), which="last"
+    )
+    assert meta["steps"] >= 6
+    env, evaluate_fn, cfg, meta = load_run_model(
+        "t1", str(tmp_path), which="best"
+    )
+    assert meta["iteration"] >= 4
+
+    # labeled_policy_accuracy consumes a labels npz (synthetic here).
+    obs = np.zeros((4, 6, 7, 4), np.float32)
+    obs[..., 0] = 1.0  # empty board planes
+    obs[..., 3] = 1.0
+    labels = {
+        "obs": obs,
+        "optimal": np.ones((4, 7), bool),
+        "z": np.ones((4,), np.float32),
+    }
+    npz = tmp_path / "labels.npz"
+    np.savez(npz, **labels)
+    acc = labeled_policy_accuracy(evaluate_fn, str(npz))
+    assert acc["move_accuracy"] == 1.0  # every column marked optimal
+    assert acc["positions"] == 4
