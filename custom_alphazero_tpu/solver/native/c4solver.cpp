@@ -34,6 +34,9 @@ constexpr int HEIGHT = 6;
 constexpr int AREA = WIDTH * HEIGHT;
 constexpr int MIN_SCORE = -AREA / 2 + 3;
 constexpr int MAX_SCORE = (AREA + 1) / 2 - 3;
+// TT bound-kind encoding split: upper bounds occupy [1, BOUND_OFFSET),
+// fail-high lower bounds [BOUND_OFFSET, 127] (scores span ~43 values).
+constexpr int BOUND_OFFSET = 64;
 
 using bb = uint64_t;
 
@@ -273,6 +276,10 @@ class Solver {
  public:
   uint64_t nodes = 0;
 
+  Solver() = default;
+  // tt_entries must be prime (Table's CRT key-truncation argument).
+  explicit Solver(size_t tt_entries) : table_(tt_entries) {}
+
   // Negamax with alpha-beta over score bounds; assumes the side to move
   // cannot win this ply (checked by callers) and nobody has won yet.
   int negamax(const Position& p, int alpha, int beta) {
@@ -292,8 +299,22 @@ class Solver {
       if (alpha >= beta) return alpha;
     }
     int max = (AREA - 1 - p.moves) / 2;  // we can't win before then
-    if (int cached = table_.get(p.key()); cached)
-      max = cached + MIN_SCORE - 1;
+    // TT entries are keyed on the mirror-canonical position (scores are
+    // left-right symmetric) and encode either bound kind: values in
+    // [1, BOUND_OFFSET) are upper bounds, values >= BOUND_OFFSET are lower
+    // bounds from fail-high cutoffs (offset-encoded).
+    bb tkey = canonical_key(p.current, p.mask);
+    if (int cached = table_.get(tkey); cached) {
+      if (cached >= BOUND_OFFSET) {  // lower bound
+        int lo = cached - BOUND_OFFSET + MIN_SCORE - 1;
+        if (alpha < lo) {
+          alpha = lo;
+          if (alpha >= beta) return alpha;
+        }
+      } else {
+        max = cached + MIN_SCORE - 1;
+      }
+    }
     if (beta > max) {
       beta = max;
       if (alpha >= beta) return beta;
@@ -326,10 +347,13 @@ class Solver {
       Position q = p;
       q.play_move_bit(entries[i].move);
       int score = -negamax(q, -beta, -alpha);
-      if (score >= beta) return score;
+      if (score >= beta) {
+        table_.put(tkey, int8_t(score - MIN_SCORE + 1 + BOUND_OFFSET));
+        return score;
+      }
       if (score > alpha) alpha = score;
     }
-    table_.put(p.key(), int8_t(alpha - MIN_SCORE + 1));
+    table_.put(tkey, int8_t(alpha - MIN_SCORE + 1));
     return alpha;
   }
 
@@ -388,7 +412,10 @@ inline Book* generate_book(int depth, bool verbose = false) {
 
   // Scores per level, keyed by canonical key.
   std::vector<std::unordered_map<bb, int>> scores(depth + 1);
-  Solver solver;
+  // A book-sized TT (prime > 2^26, ~340 MB): the frontier solves share
+  // enormous amounts of subtree work, which the default 8M-entry table
+  // thrashes away.
+  Solver solver(67108879);
   size_t done = 0;
   for (const Position& p : levels[depth]) {
     scores[depth][canonical_key(p.current, p.mask)] = solver.solve(p);
