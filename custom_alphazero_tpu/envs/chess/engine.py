@@ -106,6 +106,14 @@ _G_KNIGHT = jnp.asarray(_onehot_rows(T.KNIGHT_TARGETS))   # (64, 8, 64)
 _G_KING = jnp.asarray(_onehot_rows(T.KING_TARGETS))       # (64, 8, 64)
 _G_PAWN = jnp.asarray(_onehot_rows(T.OPP_PAWN_FROM))      # (64, 2, 64)
 _G_RAY = jnp.asarray(_onehot_rows(T.RAY))                 # (64, 8, 7, 64)
+_ACTION_TBLS = jnp.stack(
+    [
+        jnp.asarray(T.FROM, jnp.float32),
+        jnp.asarray(T.TO, jnp.float32),
+        jnp.asarray(T.PROMO, jnp.float32),
+    ],
+    axis=-1,
+)  # (A, 3) — static per-action lookups read with one matvec
 _KNIGHT_TF = jnp.asarray(T.KNIGHT_TARGETS, jnp.float32)
 _KING_TF = jnp.asarray(T.KING_TARGETS, jnp.float32)
 _OPP_PAWN_TF = jnp.asarray(T.OPP_PAWN_FROM, jnp.float32)
@@ -175,9 +183,12 @@ def _apply_action(flat: jnp.ndarray, castling, ep_file, action: jnp.ndarray):
     No legality checking — callers guarantee legality (or mask upstream).
     Dynamic-index reads/writes as iota-compare selects (no gather/scatter)."""
     act_oh = jnp.arange(A) == action
-    pick = lambda tbl: jnp.sum(jnp.where(act_oh, tbl, 0))
-    frm, to = pick(_FROM), pick(_TO)
-    promo = pick(_PROMO)
+    # One (A,) x (A, 3) matvec for all three table picks (vmap lifts it to
+    # a batch matmul on the MXU) instead of three masked reductions.
+    picks = jnp.tensordot(
+        act_oh.astype(jnp.float32), _ACTION_TBLS, axes=([0], [0])
+    ).astype(jnp.int32)
+    frm, to, promo = picks[0], picks[1], picks[2]
     fi = flat.astype(jnp.int32)
     frm_oh = _IOTA64 == frm
     to_oh = _IOTA64 == to
