@@ -59,6 +59,8 @@ class ChessState:
     history_rep: jnp.ndarray  # (HISTORY,) bool — entry was a repeat when recorded
     hash_ring: jnp.ndarray   # (HASH_RING, 2) uint32 — recent position hashes
     ring_idx: jnp.ndarray    # () int32
+    piece_hash: jnp.ndarray  # (2,) uint32 — piece placement, current view
+    piece_hash_flip: jnp.ndarray  # (2,) uint32 — same, flipped encoding
 
 
 # Table constants as device arrays (closed over by the jitted functions).
@@ -76,6 +78,18 @@ _OPP_PAWN_FROM = jnp.asarray(T.OPP_PAWN_FROM)
 _ZOBRIST = jnp.asarray(T.ZOBRIST)
 _ZOBRIST_CASTLE = jnp.asarray(T.ZOBRIST_CASTLE)
 _ZOBRIST_EP = jnp.asarray(T.ZOBRIST_EP)
+# Flip-view Zobrist: ZM[z, c, sq] = Z[z, 12 - c, sq ^ 56] — the hash a cell
+# contributes in the OPPONENT's canonical encoding (ranks flipped, colours
+# negated). Lets the position hash update incrementally across the
+# per-move canonical mirror (see _hash_delta).
+_ZOBRIST_M = jnp.asarray(
+    np.asarray(T.ZOBRIST)[:, ::-1, :][
+        :, :, (np.arange(64) ^ 56)
+    ]
+)
+# Flattened (2, 13*64) views for one-hot delta lookups.
+_Z_FLAT = jnp.asarray(np.asarray(T.ZOBRIST).reshape(2, 13 * 64))
+_ZM_FLAT = _ZOBRIST_M.reshape(2, 13 * 64)
 
 A = T.NUM_ACTIONS
 
@@ -212,7 +226,9 @@ def _apply_action(flat: jnp.ndarray, castling, ep_file, action: jnp.ndarray):
     new = jnp.where(is_castle_q & (_IOTA64 == T.D1), T.ROOK, new)
     info = dict(
         piece=piece, is_pawn=is_pawn, captured=(to_val != 0) | ep_capture,
-        frm=frm, to=to,
+        frm=frm, to=to, to_val=to_val, moved=moved,
+        ep_capture=ep_capture, is_castle_k=is_castle_k,
+        is_castle_q=is_castle_q,
         double_push=is_pawn & (to - frm == 16),
         new_ep_file=jnp.where(is_pawn & (to - frm == 16), frm_file, -1),
     )
@@ -415,22 +431,86 @@ def _xor_reduce(x: jnp.ndarray, axis: int) -> jnp.ndarray:
     )
 
 
-def _position_hash(flat, castling, ep_file):
-    """(2,) uint32 dual hash of (pieces, castling, ep)."""
+def _piece_hash_full(flat, table):
+    """(2,) uint32 piece-placement hash of a flat board under `table`
+    (_ZOBRIST for the current view, _ZOBRIST_M for the flipped view)."""
     codes = (flat.astype(jnp.int32) + 6).clip(0, 12)  # 0..12
-    # ZOBRIST[z, codes[i], i] as a one-hot select over the 13 piece codes
-    # (sum of a single term — exact in uint32); gathers lower poorly on TPU.
     code_oh = codes[None, :] == jnp.arange(13)[:, None]  # (13, 64)
     piece_h = jnp.sum(
-        jnp.where(code_oh[None], _ZOBRIST, jnp.uint32(0)), axis=1
+        jnp.where(code_oh[None], table, jnp.uint32(0)), axis=1
     )  # (2, 64)
     occupied = flat != 0
-    h = _xor_reduce(jnp.where(occupied[None, :], piece_h, 0), axis=1)
+    return _xor_reduce(jnp.where(occupied[None, :], piece_h, 0), axis=1)
+
+
+def _castle_ep_hash(castling, ep_file):
     castle_h = _xor_reduce(
         jnp.where(castling[None, :], _ZOBRIST_CASTLE, 0), axis=1
     )
     ep_h = _ZOBRIST_EP[:, jnp.where(ep_file >= 0, ep_file, 8)]
-    return h ^ castle_h ^ ep_h
+    return castle_h ^ ep_h
+
+
+def _position_hash(flat, castling, ep_file):
+    """(2,) uint32 dual hash of (pieces, castling, ep) — full recompute
+    (init/tests; steps use the incremental _hash_delta path)."""
+    return _piece_hash_full(flat, _ZOBRIST) ^ _castle_ep_hash(
+        castling, ep_file
+    )
+
+
+def _hash_delta(info):
+    """Piece-hash XOR deltas of a move, in both encodings.
+
+    Returns (delta_cur, delta_flip), each (2,) uint32: the XOR that takes
+    the pre-move board's piece hash to the post-move board's, in the
+    current canonical view and in the flipped (next player's) view. A move
+    changes at most 4 cells: from, to, the en-passant victim, and the
+    castling rook's two squares (from/to cover the king).
+    """
+    empty = jnp.int32(0)
+    rook = jnp.int32(T.ROOK)
+    no_sq = jnp.int32(-1)
+    extra1_sq = jnp.where(
+        info["ep_capture"], info["to"] - 8,
+        jnp.where(info["is_castle_k"], T.H1,
+                  jnp.where(info["is_castle_q"], T.A1, no_sq)),
+    )
+    extra1_old = jnp.where(info["ep_capture"], -T.PAWN, rook)
+    extra2_sq = jnp.where(
+        info["is_castle_k"], T.F1,
+        jnp.where(info["is_castle_q"], T.D1, no_sq),
+    )
+    cells_sq = jnp.stack([info["frm"], info["to"], extra1_sq, extra2_sq])
+    cells_old = jnp.stack(
+        [info["piece"].astype(jnp.int32), info["to_val"].astype(jnp.int32),
+         extra1_old, empty]
+    )
+    cells_new = jnp.stack(
+        [empty, info["moved"].astype(jnp.int32), empty, rook]
+    )
+
+    def contrib(codes, sqs):
+        # XOR of table[:, code, sq] for occupied cells at valid squares:
+        # one-hot rows over the flattened (13*64) table; cells are distinct
+        # so a sum-then-xor is unnecessary — each row is a single term, and
+        # the four cells fold with XOR.
+        idx = (codes + 6) * 64 + jnp.maximum(sqs, 0)
+        valid = (sqs >= 0) & (codes != 0)
+        oh = (
+            (jnp.arange(13 * 64)[None, :] == idx[:, None]) & valid[:, None]
+        )  # (4, 832)
+        vals_cur = jnp.sum(
+            jnp.where(oh[None], _Z_FLAT[:, None, :], jnp.uint32(0)), axis=2
+        )  # (2, 4) — single term per row, exact
+        vals_flip = jnp.sum(
+            jnp.where(oh[None], _ZM_FLAT[:, None, :], jnp.uint32(0)), axis=2
+        )
+        return _xor_reduce(vals_cur, 1), _xor_reduce(vals_flip, 1)
+
+    old_cur, old_flip = contrib(cells_old, cells_sq)
+    new_cur, new_flip = contrib(cells_new, cells_sq)
+    return old_cur ^ new_cur, old_flip ^ new_flip
 
 
 def _insufficient_material(flat):
@@ -511,6 +591,8 @@ class Chess(core.Env):
             history_rep=jnp.zeros((HISTORY,), bool),
             hash_ring=ring,
             ring_idx=jnp.int32(1),
+            piece_hash=_piece_hash_full(flat, _ZOBRIST),
+            piece_hash_flip=_piece_hash_full(flat, _ZOBRIST_M),
         )
 
     def from_fen(self, fen: str) -> ChessState:
@@ -547,7 +629,13 @@ class Chess(core.Env):
         mate = no_moves & in_check
         stalemate = no_moves & ~in_check
 
-        h = _position_hash(new_board.reshape(64), castling, ep_file)
+        # Incremental piece hash across the canonical mirror: the new view's
+        # placement hash is the old flipped-view hash XOR the move's
+        # flipped-view delta (full rehash only at init).
+        delta_cur, delta_flip = _hash_delta(info)
+        piece_hash = state.piece_hash_flip ^ delta_flip
+        piece_hash_flip = state.piece_hash ^ delta_cur
+        h = piece_hash ^ _castle_ep_hash(castling, ep_file)
         # Repetition: occurrences of this hash in the ring (both sub-hashes).
         slot = (jnp.arange(HASH_RING) == state.ring_idx % HASH_RING)[:, None]
         ring = jnp.where(slot, h[None, :], state.hash_ring)
@@ -580,6 +668,8 @@ class Chess(core.Env):
             history_rep=history_rep,
             hash_ring=ring,
             ring_idx=state.ring_idx + 1,
+            piece_hash=piece_hash,
+            piece_hash_flip=piece_hash_flip,
         )
         # Absorbing terminal states (scalar `keep` broadcasts over any leaf).
         keep = state.terminal
@@ -620,7 +710,10 @@ class Chess(core.Env):
             info["is_pawn"] | info["captured"], 0, state.halfmove + 1
         ).astype(jnp.int32)
 
-        h = _position_hash(new_board.reshape(64), castling, ep_file)
+        delta_cur, delta_flip = _hash_delta(info)
+        piece_hash = state.piece_hash_flip ^ delta_flip
+        piece_hash_flip = state.piece_hash ^ delta_cur
+        h = piece_hash ^ _castle_ep_hash(castling, ep_file)
         slot = (jnp.arange(HASH_RING) == state.ring_idx % HASH_RING)[:, None]
         ring = jnp.where(slot, h[None, :], state.hash_ring)
         matches = jnp.sum(jnp.all(ring == h[None, :], axis=1))
@@ -641,6 +734,8 @@ class Chess(core.Env):
             history_rep=history_rep,
             hash_ring=ring,
             ring_idx=state.ring_idx + 1,
+            piece_hash=piece_hash,
+            piece_hash_flip=piece_hash_flip,
         )
 
     # -- queries -----------------------------------------------------------

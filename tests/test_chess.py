@@ -223,3 +223,67 @@ def test_castle_action_ids_still_normal_slider_moves():
     assert legal[T.CASTLE_K], "Qe1-g1 must be legal"
     assert legal[T.CASTLE_Q], "Qe1-c1 must be legal"
     assert int(legal.sum()) == 23  # 20 queen moves + 3 king moves
+
+
+def test_incremental_hash_matches_full_recompute():
+    """The dual-view incremental Zobrist update (engine._hash_delta) must
+    agree with a from-scratch hash at every position of random games,
+    including castles, promotions and en-passant when they occur."""
+    from custom_alphazero_tpu.envs.chess import engine as E
+
+    env = Chess()
+    rng = np.random.default_rng(3)
+    step = jax.jit(env.step)
+    for game in range(3):
+        state = env.init()
+        for ply in range(60):
+            if bool(state.terminal):
+                break
+            legal = np.nonzero(np.asarray(env.legal_mask(state)))[0]
+            state, _ = step(state, jnp.int32(int(rng.choice(legal))))
+            flat = state.board.reshape(64)
+            full = np.asarray(
+                E._position_hash(flat, state.castling, state.ep_file)
+            )
+            ring_h = np.asarray(state.hash_ring)[
+                (int(state.ring_idx) - 1) % E.HASH_RING
+            ]
+            np.testing.assert_array_equal(ring_h, full)
+            np.testing.assert_array_equal(
+                np.asarray(state.piece_hash),
+                np.asarray(E._piece_hash_full(flat, E._ZOBRIST)),
+            )
+            np.testing.assert_array_equal(
+                np.asarray(state.piece_hash_flip),
+                np.asarray(E._piece_hash_full(flat, E._ZOBRIST_M)),
+            )
+
+
+@pytest.mark.parametrize(
+    "fen,uci",
+    [
+        # Castling both sides, en-passant, capture-promotion, push-promotion.
+        ("r3k2r/8/8/8/8/8/8/R3K2R w KQkq - 0 1", "e1g1"),
+        ("r3k2r/8/8/8/8/8/8/R3K2R w KQkq - 0 1", "e1c1"),
+        ("4k3/8/8/3pP3/8/8/8/4K3 w - d6 0 2", "e5d6"),
+        ("3nk3/2P5/8/8/8/8/8/4K3 w - - 0 1", "c7d8q"),
+        ("4k3/2P5/8/8/8/8/8/4K3 w - - 0 1", "c7c8n"),
+    ],
+)
+def test_incremental_hash_special_moves(fen, uci):
+    from custom_alphazero_tpu.envs.chess import engine as E
+
+    env = Chess()
+    state = env.from_fen(fen)
+    action = T.ACTION_INDEX[uci]
+    assert bool(env.legal_mask(state)[action]), uci
+    state, _ = env.step(state, jnp.int32(action))
+    flat = state.board.reshape(64)
+    np.testing.assert_array_equal(
+        np.asarray(state.piece_hash),
+        np.asarray(E._piece_hash_full(flat, E._ZOBRIST)),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(state.piece_hash_flip),
+        np.asarray(E._piece_hash_full(flat, E._ZOBRIST_M)),
+    )
