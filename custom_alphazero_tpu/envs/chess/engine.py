@@ -754,16 +754,21 @@ class Chess(core.Env):
         8 history plies x (13 piece one-hot + repetition) + 4 castling +
         fullmove + halfmove planes. History entries alternate perspective as
         stored; re-orient odd entries to the current player's view."""
-        planes = []
-        for i in range(HISTORY):
-            hb = state.history[i]
-            if i % 2 == 1:  # stored from the opponent's perspective
-                hb = -hb[::-1]
-            onehot = jax.nn.one_hot(
-                hb.astype(jnp.int32) + 6, 13, dtype=jnp.float32
-            )  # (8, 8, 13): [-6..6] -> [0..12]
-            rep = jnp.full((8, 8, 1), state.history_rep[i], jnp.float32)
-            planes.append(jnp.concatenate([onehot, rep], axis=-1))
+        # All 8 history plies re-oriented and one-hotted in one fused pass
+        # (odd entries are stored from the opponent's perspective).
+        odd = (jnp.arange(HISTORY) % 2 == 1)[:, None, None]
+        aligned = jnp.where(odd, -state.history[:, ::-1], state.history)
+        onehot = jax.nn.one_hot(
+            aligned.astype(jnp.int32) + 6, 13, dtype=jnp.float32
+        )  # (H, 8, 8, 13): [-6..6] -> [0..12]
+        rep = jnp.broadcast_to(
+            state.history_rep.astype(jnp.float32)[:, None, None, None],
+            (HISTORY, 8, 8, 1),
+        )
+        per_ply = jnp.concatenate([onehot, rep], axis=-1)
+        hist_planes = jnp.transpose(per_ply, (1, 2, 0, 3)).reshape(
+            8, 8, HISTORY * 14
+        )
         extra = jnp.stack(
             [
                 jnp.full((8, 8), state.castling[0], jnp.float32),
@@ -775,7 +780,7 @@ class Chess(core.Env):
             ],
             axis=-1,
         )
-        return jnp.concatenate(planes + [extra], axis=-1)
+        return jnp.concatenate([hist_planes, extra], axis=-1)
 
 
 core.register("chess", Chess)
