@@ -57,7 +57,10 @@ class MCTSConfig:
     # (reference self_play.py:62, config.py:55).
     greedy_from_move: int = 8
     use_solver: bool = False
-    # Maximum tree nodes per move; 0 means simulations + 1 (fresh tree).
+    # Tree node capacity per search; the effective capacity is
+    # max(max_nodes, simulations) — one slot per simulation wave is the
+    # floor (search/mcts.py static slots), extra slots cost memory but
+    # change nothing. 0 = exactly one slot per simulation.
     max_nodes: int = 0
     # Per-node stored prior width for large action spaces: 0 = auto
     # (min(simulations, A) — exact, see search/mcts.py), -1 = full width,

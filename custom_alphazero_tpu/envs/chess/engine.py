@@ -175,23 +175,6 @@ def _attack_query(kn, kg, pw, ray_vals, ray_sqs):
     return knights | kings | pawns | jnp.any(first_hit & slider, axis=(-2, -1))
 
 
-def _attacked_static(at: _AttackTables, sq: int) -> jnp.ndarray:
-    """Is the fixed square `sq` attacked (static row slices)."""
-    return _attack_query(
-        at.knight[sq], at.king[sq], at.pawn[sq], at.ray[sq], _RAY_TF[sq]
-    )
-
-
-def _attacked_dyn(at: _AttackTables, sq: jnp.ndarray) -> jnp.ndarray:
-    """Is the dynamic square `sq` () attacked (one-hot row select)."""
-    oh = (_IOTA64 == sq).astype(jnp.float32)
-    pick = lambda W: jnp.tensordot(oh, W, axes=([0], [0]))
-    return _attack_query(
-        pick(at.knight), pick(at.king), pick(at.pawn),
-        pick(at.ray), pick(_RAY_TF),
-    )
-
-
 def _apply_action(flat: jnp.ndarray, castling, ep_file, action: jnp.ndarray):
     """Apply action to a flat (64,) board; returns (new_flat, info dict).
     No legality checking — callers guarantee legality (or mask upstream).
@@ -370,10 +353,9 @@ def _legal_mask(flat: jnp.ndarray, castling, ep_file):
     # En-passant captures get a direct post-move verdict (≤ 2 candidate
     # from-squares): the generic pin/resolve rules miss the double-vacancy
     # rank exposure and rays opened through the *captured* pawn's square.
-    ep_target = jnp.where(ep_file >= 0, 5 * 8 + ep_file, -100)
     is_ep = (
         (piece == T.PAWN) & (_PROMO == 0) & diag_dir & (_DIST == 1)
-        & (_TO == ep_target)
+        & (_TO == ep_target)  # ep_target from the pseudo-move pass above
     )
     cap_sq = 4 * 8 + jnp.maximum(ep_file, 0)
 
@@ -443,19 +425,37 @@ def _piece_hash_full(flat, table):
     return _xor_reduce(jnp.where(occupied[None, :], piece_h, 0), axis=1)
 
 
-def _castle_ep_hash(castling, ep_file):
+def _hashable_ep(flat, ep_file):
+    """ep contributes to the repetition hash only when a pseudo-legal ep
+    capture exists (an own pawn beside the pushed pawn): positions that
+    differ only in a phantom ep square must hash equal, like python-chess's
+    transposition key (which uses has_legal_en_passant; pseudo-legal is the
+    cheap approximation — a pinned-only ep capture still hashes distinct)."""
+    base = 4 * 8 + jnp.maximum(ep_file, 0)
+    fi = flat.astype(jnp.int32)
+    left = (ep_file >= 1) & (
+        jnp.sum(jnp.where(_IOTA64 == base - 1, fi, 0)) == T.PAWN
+    )
+    right = (ep_file >= 0) & (ep_file <= 6) & (
+        jnp.sum(jnp.where(_IOTA64 == base + 1, fi, 0)) == T.PAWN
+    )
+    return jnp.where((ep_file >= 0) & (left | right), ep_file, -1)
+
+
+def _castle_ep_hash(flat, castling, ep_file):
     castle_h = _xor_reduce(
         jnp.where(castling[None, :], _ZOBRIST_CASTLE, 0), axis=1
     )
-    ep_h = _ZOBRIST_EP[:, jnp.where(ep_file >= 0, ep_file, 8)]
+    eff_ep = _hashable_ep(flat, ep_file)
+    ep_h = _ZOBRIST_EP[:, jnp.where(eff_ep >= 0, eff_ep, 8)]
     return castle_h ^ ep_h
 
 
 def _position_hash(flat, castling, ep_file):
-    """(2,) uint32 dual hash of (pieces, castling, ep) — full recompute
-    (init/tests; steps use the incremental _hash_delta path)."""
+    """(2,) uint32 dual hash of (pieces, castling, effective ep) — full
+    recompute (init/tests; steps use the incremental _hash_delta path)."""
     return _piece_hash_full(flat, _ZOBRIST) ^ _castle_ep_hash(
-        castling, ep_file
+        flat, castling, ep_file
     )
 
 
@@ -566,15 +566,29 @@ class Chess(core.Env):
         board = jnp.asarray(board, jnp.int8)
         castling = jnp.asarray(castling, bool)
         flat = board.reshape(64)
+        # Sanitize castling rights against actual piece placement: FEN
+        # defaults missing fields to KQkq (tables.board_from_fen), and a
+        # right without its king/rook is unplayable garbage that would let
+        # _apply_action materialize a rook out of thin air (python-chess
+        # cleans rights the same way).
+        castling = castling & jnp.stack(
+            [
+                (flat[T.E1] == T.KING) & (flat[T.H1] == T.ROOK),
+                (flat[T.E1] == T.KING) & (flat[T.A1] == T.ROOK),
+                (flat[T.E8] == -T.KING) & (flat[T.H8] == -T.ROOK),
+                (flat[T.E8] == -T.KING) & (flat[T.A8] == -T.ROOK),
+            ]
+        )
         legal, in_check, h, insufficient = _analyze_jit(
             flat, castling, jnp.int32(ep_file)
         )
         history = jnp.zeros((HISTORY, 8, 8), jnp.int8).at[0].set(board)
         ring = jnp.zeros((HASH_RING, 2), jnp.uint32).at[0].set(h)
         no_moves = ~legal.any()
-        # A loaded position may already be decided.
+        # A loaded position may already be decided (mate/stalemate,
+        # insufficient material, or an expired 75-move clock).
         mate = no_moves & in_check
-        terminal = no_moves | insufficient
+        terminal = no_moves | insufficient | (jnp.int32(halfmove) >= 150)
         return ChessState(
             board=board,
             castling=castling,
@@ -601,7 +615,11 @@ class Chess(core.Env):
 
     # -- dynamics ----------------------------------------------------------
 
-    def step(self, state: ChessState, action: jnp.ndarray):
+    def _advance(self, state: ChessState, action: jnp.ndarray):
+        """Shared move application for step / step_lite: board, castling
+        rights, canonical mirror, clocks, incremental hash, repetition ring
+        and history — everything except the legality analysis and terminal
+        flags (left stale). Returns (advanced_state, ring_matches)."""
         flat = state.board.reshape(64)
         new_flat, info = _apply_action(
             flat, state.castling, state.ep_file, action.astype(jnp.int32)
@@ -624,28 +642,19 @@ class Chess(core.Env):
             info["is_pawn"] | info["captured"], 0, state.halfmove + 1
         ).astype(jnp.int32)
 
-        new_legal, in_check = _legal_mask(new_board.reshape(64), castling, ep_file)
-        no_moves = ~new_legal.any()
-        mate = no_moves & in_check
-        stalemate = no_moves & ~in_check
-
         # Incremental piece hash across the canonical mirror: the new view's
         # placement hash is the old flipped-view hash XOR the move's
         # flipped-view delta (full rehash only at init).
         delta_cur, delta_flip = _hash_delta(info)
         piece_hash = state.piece_hash_flip ^ delta_flip
         piece_hash_flip = state.piece_hash ^ delta_cur
-        h = piece_hash ^ _castle_ep_hash(castling, ep_file)
+        h = piece_hash ^ _castle_ep_hash(
+            new_board.reshape(64), castling, ep_file
+        )
         # Repetition: occurrences of this hash in the ring (both sub-hashes).
         slot = (jnp.arange(HASH_RING) == state.ring_idx % HASH_RING)[:, None]
         ring = jnp.where(slot, h[None, :], state.hash_ring)
         matches = jnp.sum(jnp.all(ring == h[None, :], axis=1))
-        repetition = matches >= 3
-        seventy_five = halfmove >= 150
-        insufficient = _insufficient_material(new_board.reshape(64))
-
-        terminal = mate | stalemate | repetition | seventy_five | insufficient
-        reward = jnp.where(mate, 1.0, 0.0).astype(jnp.float32)
 
         history = jnp.concatenate(
             [new_board[None], state.history[:-1]], axis=0
@@ -653,23 +662,42 @@ class Chess(core.Env):
         history_rep = jnp.concatenate(
             [(matches >= 2)[None], state.history_rep[:-1]], axis=0
         )
-
-        next_state = ChessState(
+        advanced = state.replace(
             board=new_board,
             castling=castling,
             ep_file=ep_file,
             halfmove=halfmove,
             fullmove=state.fullmove + 1,
-            terminal=terminal,
-            won=mate,
-            legal=new_legal & ~terminal,
-            in_check=in_check,
             history=history,
             history_rep=history_rep,
             hash_ring=ring,
             ring_idx=state.ring_idx + 1,
             piece_hash=piece_hash,
             piece_hash_flip=piece_hash_flip,
+        )
+        return advanced, matches
+
+    def step(self, state: ChessState, action: jnp.ndarray):
+        advanced, matches = self._advance(state, action)
+        flat = advanced.board.reshape(64)
+        new_legal, in_check = _legal_mask(
+            flat, advanced.castling, advanced.ep_file
+        )
+        no_moves = ~new_legal.any()
+        mate = no_moves & in_check
+        stalemate = no_moves & ~in_check
+        repetition = matches >= 3
+        seventy_five = advanced.halfmove >= 150
+        insufficient = _insufficient_material(flat)
+
+        terminal = mate | stalemate | repetition | seventy_five | insufficient
+        reward = jnp.where(mate, 1.0, 0.0).astype(jnp.float32)
+
+        next_state = advanced.replace(
+            terminal=terminal,
+            won=mate,
+            legal=new_legal & ~terminal,
+            in_check=in_check,
         )
         # Absorbing terminal states (scalar `keep` broadcasts over any leaf).
         keep = state.terminal
@@ -692,51 +720,8 @@ class Chess(core.Env):
         (core.Env.step_lite contract). Skipping the 1968-action legality /
         king-safety pass here makes the per-level descent cost ~6x cheaper.
         """
-        flat = state.board.reshape(64)
-        new_flat, info = _apply_action(
-            flat, state.castling, state.ep_file, action.astype(jnp.int32)
-        )
-        own_k = state.castling[0] & (info["piece"] != T.KING) & ~(
-            (info["frm"] == T.H1) & (info["piece"] == T.ROOK))
-        own_q = state.castling[1] & (info["piece"] != T.KING) & ~(
-            (info["frm"] == T.A1) & (info["piece"] == T.ROOK))
-        opp_k = state.castling[2] & ~(info["to"] == T.H8)
-        opp_q = state.castling[3] & ~(info["to"] == T.A8)
-
-        new_board = -new_flat.reshape(8, 8)[::-1]
-        castling = jnp.stack([opp_k, opp_q, own_k, own_q])
-        ep_file = info["new_ep_file"].astype(jnp.int32)
-        halfmove = jnp.where(
-            info["is_pawn"] | info["captured"], 0, state.halfmove + 1
-        ).astype(jnp.int32)
-
-        delta_cur, delta_flip = _hash_delta(info)
-        piece_hash = state.piece_hash_flip ^ delta_flip
-        piece_hash_flip = state.piece_hash ^ delta_cur
-        h = piece_hash ^ _castle_ep_hash(castling, ep_file)
-        slot = (jnp.arange(HASH_RING) == state.ring_idx % HASH_RING)[:, None]
-        ring = jnp.where(slot, h[None, :], state.hash_ring)
-        matches = jnp.sum(jnp.all(ring == h[None, :], axis=1))
-
-        history = jnp.concatenate(
-            [new_board[None], state.history[:-1]], axis=0
-        )
-        history_rep = jnp.concatenate(
-            [(matches >= 2)[None], state.history_rep[:-1]], axis=0
-        )
-        return state.replace(
-            board=new_board,
-            castling=castling,
-            ep_file=ep_file,
-            halfmove=halfmove,
-            fullmove=state.fullmove + 1,
-            history=history,
-            history_rep=history_rep,
-            hash_ring=ring,
-            ring_idx=state.ring_idx + 1,
-            piece_hash=piece_hash,
-            piece_hash_flip=piece_hash_flip,
-        )
+        advanced, _ = self._advance(state, action)
+        return advanced
 
     # -- queries -----------------------------------------------------------
 
@@ -750,10 +735,20 @@ class Chess(core.Env):
         return jnp.where(state.won, -1.0, 0.0).astype(jnp.float32)
 
     def observe(self, state: ChessState) -> jnp.ndarray:
-        """118-plane observation (reference full_state, chess/board.py:58-73):
-        8 history plies x (13 piece one-hot + repetition) + 4 castling +
-        fullmove + halfmove planes. History entries alternate perspective as
-        stored; re-orient odd entries to the current player's view."""
+        """118-plane observation with the reference full_state's plane
+        *budget* (chess/board.py:58-73): 8 history plies x (13 piece one-hot
+        + repetition) + 4 castling + 2 clock planes. History entries
+        alternate perspective as stored; odd entries are re-oriented to the
+        current player's view.
+
+        Deliberate encoding deviations from the reference (self-consistent;
+        reference weights are not transferable anyway): history is stored
+        newest-first (reference: oldest-first), piece one-hot channels are
+        piece+6 so empty = channel 6 (reference: np.eye wrap, empty = 0,
+        enemies = 12..7), the repetition plane marks a second ring-hash
+        occurrence (reference: python-chess threefold is_repetition), the
+        castling planes are ordered K,Q,K,Q (reference: Q,K,Q,K), and the
+        move-count plane counts total plies (reference: fullmove number)."""
         # All 8 history plies re-oriented and one-hotted in one fused pass
         # (odd entries are stored from the opponent's perspective).
         odd = (jnp.arange(HISTORY) % 2 == 1)[:, None, None]

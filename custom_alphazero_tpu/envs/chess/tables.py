@@ -147,7 +147,7 @@ for sq in range(64):
 CASTLE_K = ACTION_INDEX["e1g1"]
 CASTLE_Q = ACTION_INDEX["e1c1"]
 E1, C1, D1, F1, G1, B1, A1, H1 = map(name_sq, ("e1", "c1", "d1", "f1", "g1", "b1", "a1", "h1"))
-A8, H8 = map(name_sq, ("a8", "h8"))
+A8, H8, E8 = map(name_sq, ("a8", "h8", "e8"))
 
 # Zobrist-style hashing for repetition detection: two independent 32-bit
 # tables over (piece code + 6, square) + castling + ep-file mixers.

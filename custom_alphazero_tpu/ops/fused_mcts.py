@@ -557,7 +557,7 @@ class FusedConnectNSearch:
             root_prior = jnp.where(
                 ((wv == 1) & root_live)[:, None], renormed, root_prior
             )
-            mixed = self._mcts._root_noisy_prior(root_prior, knoise, batch)
+            mixed = self._mcts._root_noisy_prior(root_prior, knoise)
             outs = call(
                 jnp.full((1,), wv, jnp.int32),
                 mixed,

@@ -272,7 +272,7 @@ class MCTS:
         )
         return jnp.where(legal, jnp.maximum(renormed, 1e-35), 0.0)
 
-    def _root_noisy_prior(self, root_prior, rng, batch):
+    def _root_noisy_prior(self, root_prior, rng):
         """Per-simulation Dirichlet mix at the root (reference mcts.py:70-85)."""
         cfg = self.cfg
         if not cfg.use_dirichlet:
@@ -359,7 +359,7 @@ class MCTS:
             raw_root_prior = (
                 tree.root_prior if compressed else tree.prior[:, 0]
             )
-            root_prior = self._root_noisy_prior(raw_root_prior, knoise, batch)
+            root_prior = self._root_noisy_prior(raw_root_prior, knoise)
 
             # Per-wave PUCT precompute over ALL nodes (stats frozen during
             # select; see module docstring).
@@ -682,15 +682,6 @@ class MCTS:
 
     def root_q_values(self, tree: Tree) -> jnp.ndarray:
         """(B, A) mean action values at the root (diagnostics)."""
-        a = self.env.num_actions
-        root_child = tree.parent == 0
-        am = (
-            tree.parent_action[:, :, None] == jnp.arange(a)
-        ).astype(jnp.float32)
-        nv = jnp.einsum(
-            "bc,bca->ba", jnp.where(root_child, tree.visits, 0.0), am
-        )
-        w = jnp.einsum(
-            "bc,bca->ba", jnp.where(root_child, tree.value_sum, 0.0), am
-        )
+        nv = self.root_child_visits(tree).astype(jnp.float32)
+        w = self.root_child_value_sums(tree)
         return jnp.where(nv > 0, w / jnp.maximum(nv, 1.0), 0.0)

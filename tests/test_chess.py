@@ -287,3 +287,45 @@ def test_incremental_hash_special_moves(fen, uci):
         np.asarray(state.piece_hash_flip),
         np.asarray(E._piece_hash_full(flat, E._ZOBRIST_M)),
     )
+
+
+def test_fen_rights_sanitized_against_placement():
+    """FEN castling rights without the matching king/rook are cleared at
+    load (python-chess cleans the same way). Regression: a board-only FEN
+    (rights defaulting to KQkq) with no h1 rook let e1g1 'castle' and
+    materialize a rook on f1."""
+    env = Chess()
+    state = env.from_fen("4k3/8/8/8/8/8/8/4K3 w KQkq - 0 1")
+    legal = np.asarray(env.legal_mask(state))
+    assert not legal[T.CASTLE_K] and not legal[T.CASTLE_Q]
+    assert not np.asarray(state.castling).any()
+
+
+def test_fen_expired_halfmove_clock_is_terminal():
+    """A loaded position with halfmove >= 150 is already a 75-move draw."""
+    env = Chess()
+    state = env.from_fen("8/8/8/4k3/8/8/4K3/4R3 w - - 150 100")
+    assert bool(state.terminal) and not bool(state.won)
+
+
+def test_phantom_ep_does_not_split_repetition_hash():
+    """A double push with no capturing pawn adjacent must hash like the
+    same position without the ep square, so repetitions are not missed
+    (python-chess keys ep only when an ep capture exists)."""
+    from custom_alphazero_tpu.envs.chess import engine as E
+
+    env = Chess()
+    # After 1.e4 (no black pawn on d4/f4): ep file is set but phantom.
+    s1, _ = env.step(env.init(), jnp.int32(T.ACTION_INDEX["e2e4"]))
+    assert int(s1.ep_file) == 4
+    flat = s1.board.reshape(64)
+    with_ep = np.asarray(E._position_hash(flat, s1.castling, s1.ep_file))
+    without = np.asarray(E._position_hash(flat, s1.castling, jnp.int32(-1)))
+    np.testing.assert_array_equal(with_ep, without)
+    # A real ep-capturable double push must still hash distinct.
+    s = env.from_fen("4k3/8/8/8/4p3/8/3P4/4K3 w - - 0 1")
+    s2, _ = env.step(s, jnp.int32(T.ACTION_INDEX["d2d4"]))
+    flat2 = s2.board.reshape(64)
+    with_ep2 = np.asarray(E._position_hash(flat2, s2.castling, s2.ep_file))
+    without2 = np.asarray(E._position_hash(flat2, s2.castling, jnp.int32(-1)))
+    assert not np.array_equal(with_ep2, without2)
