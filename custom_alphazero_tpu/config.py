@@ -98,7 +98,6 @@ class SelfPlayConfig:
     games_per_generation: int = 256
     discount: float = 1.0
     exclude_draws: bool = True
-    samples_checkpoint_frequency: int = 1
 
 
 @dataclass(frozen=True)

@@ -64,13 +64,32 @@ def save_checkpoint(
         # Sentinel last: its presence certifies a complete write
         # (reference model.py:212, utils.py:53).
         open(os.path.join(tmp, SENTINEL), "wb").close()
+        # Retire the old checkpoint by rename FIRST so a crash between the
+        # two operations leaves the previous (complete, sentinel-bearing)
+        # checkpoint recoverable at `old` rather than no checkpoint at all.
+        old = None
         if os.path.exists(path):
-            shutil.rmtree(path)
+            old = tempfile.mkdtemp(dir=parent)
+            os.rmdir(old)
+            os.replace(path, old)
         os.replace(tmp, path)
+        if old is not None:
+            shutil.rmtree(old, ignore_errors=True)
     except BaseException:
         shutil.rmtree(tmp, ignore_errors=True)
         raise
     return meta
+
+
+_ASYNC_LOCK = threading.Lock()
+
+
+def _locked_save(path, state, learning_rate, replay, extra_meta):
+    # One save at a time per process: overlapping saves to the same path
+    # would interleave the retire/replace sequence.
+    with _ASYNC_LOCK:
+        save_checkpoint(path, state, learning_rate, replay,
+                        extra_meta=extra_meta)
 
 
 def save_checkpoint_async(
@@ -78,12 +97,12 @@ def save_checkpoint_async(
     extra_meta: Optional[dict] = None,
 ) -> threading.Thread:
     """Fire-and-join-later save: device->host copy happens on the caller
-    thread (cheap), disk IO on a worker."""
+    thread (cheap), disk IO on a worker serialized by a process-wide lock."""
     state = jax.device_get(train_state)
     replay = jax.device_get(replay_state) if replay_state is not None else None
     thread = threading.Thread(
-        target=save_checkpoint, args=(path, state, learning_rate, replay),
-        kwargs={"extra_meta": extra_meta}, daemon=True,
+        target=_locked_save,
+        args=(path, state, learning_rate, replay, extra_meta), daemon=True,
     )
     thread.start()
     return thread

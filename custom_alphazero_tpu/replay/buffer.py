@@ -42,9 +42,18 @@ def replay_init(capacity: int, obs_shape, num_actions: int) -> ReplayState:
 
 def replay_add(state: ReplayState, batch: SelfPlayBatch) -> ReplayState:
     """Masked FIFO append: valid samples land at consecutive ring slots in
-    order; invalid rows scatter out-of-bounds and are dropped by XLA."""
+    order; invalid rows scatter out-of-bounds and are dropped by XLA.
+
+    When one batch holds more than `capacity` valid samples (e.g. chess
+    defaults: 256 games x 512 plies >> a 10k ring), only the NEWEST
+    `capacity` are written — wrapped slots would otherwise duplicate, and
+    XLA keeps an arbitrary duplicate, silently mixing old and new rows."""
     capacity = state.obs.shape[0]
     mask = batch.valid
+    total = mask.sum().astype(jnp.int32)
+    offsets = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    mask = mask & (offsets >= total - capacity)
+    # Re-rank the surviving samples from 0 so slots stay consecutive.
     offsets = jnp.cumsum(mask.astype(jnp.int32)) - 1
     slots = jnp.where(mask, (state.head + offsets) % capacity, capacity)
     count = mask.sum().astype(jnp.int32)

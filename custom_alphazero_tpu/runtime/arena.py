@@ -42,7 +42,10 @@ class ArenaGameLog(NamedTuple):
 
 class ArenaResult(NamedTuple):
     score: jnp.ndarray            # scalar in [0, 1]
-    promote: jnp.ndarray          # bool, score >= threshold and decisives > 0
+    promote: jnp.ndarray          # bool, score >= threshold (a draws-only
+    #     series scores exactly 0.5, reference evaluate.py:127-129, and the
+    #     default 0.55 gate filters it; a threshold <= 0.5 admits it, like
+    #     the reference formula)
     wins: jnp.ndarray             # candidate wins
     losses: jnp.ndarray           # incumbent wins
     draws: jnp.ndarray

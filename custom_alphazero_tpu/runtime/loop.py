@@ -43,6 +43,7 @@ from custom_alphazero_tpu.io.checkpoint import (
     checkpoint_exists,
     load_checkpoint,
     save_checkpoint,
+    save_checkpoint_async,
 )
 from custom_alphazero_tpu.io.metrics import MetricsWriter
 from custom_alphazero_tpu.models.losses import learning_rate_schedule
@@ -226,6 +227,7 @@ def run(cfg: Config, generations: Optional[int] = None) -> dict:
     generation = 0
     summary = {"run_id": run_id, "iterations": 0, "promotions": 0,
                "last_arena_score": None}
+    pending_save = None
     best_updated = False
 
     print(f"Starting run {run_id} on {jax.devices()}")
@@ -278,7 +280,8 @@ def run(cfg: Config, generations: Optional[int] = None) -> dict:
             iteration,
         )
 
-        if int(jax.device_get(replay.size)) >= cfg.replay.min_size:
+        warmup = max(cfg.replay.min_size, cfg.model.batch_size)
+        if int(jax.device_get(replay.size)) >= warmup:
             for _ in range(cfg.loop.train_iterations_per_generation):
                 rng, k_batch = jax.random.split(rng)
                 obs_b, pi_b, z_b = learner.replay_sample(replay, k_batch)
@@ -296,14 +299,18 @@ def run(cfg: Config, generations: Optional[int] = None) -> dict:
                     iteration,
                 )
 
-                if iteration % cfg.arena.checkpoint_frequency == 0:
-                    save_checkpoint(
+                cfreq = cfg.arena.checkpoint_frequency
+                if cfreq and iteration % cfreq == 0:
+                    # Async: disk IO off the training thread; serialized by
+                    # the module lock, joined before run() returns.
+                    pending_save = save_checkpoint_async(
                         training_dir,
                         train_state,
                         float(learner.schedule(train_state.steps)),
                         replay if cfg.loop.checkpoint_replay else None,
                     )
-                if iteration % cfg.arena.evaluation_frequency == 0:
+                efreq = cfg.arena.evaluation_frequency
+                if efreq and iteration % efreq == 0:
                     rng, k_arena = jax.random.split(rng)
                     result = learner.run_arena(
                         train_state.params, train_state.batch_stats,
@@ -354,6 +361,8 @@ def run(cfg: Config, generations: Optional[int] = None) -> dict:
                         float(learner.schedule(train_state.steps)),
                     )
         generation += 1
+    if pending_save is not None:
+        pending_save.join()
     metrics.close()
     return summary
 

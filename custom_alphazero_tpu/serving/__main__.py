@@ -93,9 +93,14 @@ def main(argv=None):
               "serving.inference_timeout": "0.05"}
     cfg_args = []
     for arg in args:
-        key = arg.lstrip("-").split("=", 1)[0]
+        key, eq, value = arg.lstrip("-").partition("=")
         if key in extras:
-            extras[key] = arg.split("=", 1)[1]
+            if not eq:
+                raise SystemExit(
+                    f"Expected --{key}=value (space-separated form is not "
+                    f"supported), got {arg!r}"
+                )
+            extras[key] = value
         else:
             cfg_args.append(arg)
     cfg = apply_overrides(Config(), parse_cli_overrides(cfg_args))

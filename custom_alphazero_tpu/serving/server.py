@@ -63,31 +63,55 @@ class MicroBatcher:
         uid = object()
         with self._cv:
             self._pending[uid] = state
-            generation = self._generation
             if len(self._pending) >= self.batch_size:
                 self._flush_locked()
-            else:
-                deadline = time.monotonic() + self.timeout
-                while uid not in self._results:
+            deadline = time.monotonic() + self.timeout
+            while uid not in self._results:
+                if uid in self._pending:
+                    # Not yet claimed by any flush.
                     remaining = deadline - time.monotonic()
-                    if remaining <= 0 or self._generation != generation:
+                    if remaining <= 0:
+                        # Timed out as batch leader: flush whatever queued.
+                        self._flush_locked()
                         break
                     self._cv.wait(remaining)
-                if uid not in self._results and uid in self._pending:
-                    # Timed out as the batch leader: flush whatever queued.
-                    self._flush_locked()
-            return self._results.pop(uid)
+                else:
+                    # Claimed by an in-flight flush: a result (or error) is
+                    # guaranteed to be posted when its forward finishes.
+                    self._cv.wait(1.0)
+            result = self._results.pop(uid)
+            if isinstance(result, BaseException):
+                raise result
+            return result
 
     def _flush_locked(self) -> None:
+        # Claim the batch under the lock, but run the model forward with the
+        # lock RELEASED so new requests keep accumulating into the next
+        # batch during evaluation (the reference batcher accumulates during
+        # its awaited forward the same way, inference_batch.py:35-54).
         batch = self._pending
+        if not batch:
+            return
         self._pending = {}
         self._generation += 1
-        states = np.stack([np.asarray(s, np.float32) for s in batch.values()])
-        probs, values = self._evaluate(states)
-        probs = np.asarray(probs)
-        values = np.asarray(values).reshape(-1)
+        evaluate = self._evaluate
+        error = None
+        self._cv.release()
+        try:
+            states = np.stack(
+                [np.asarray(s, np.float32) for s in batch.values()]
+            )
+            probs, values = evaluate(states)
+            probs = np.asarray(probs)
+            values = np.asarray(values).reshape(-1)
+        except BaseException as exc:  # posted to every waiter below
+            error = exc
+        finally:
+            self._cv.acquire()
         for i, uid in enumerate(batch.keys()):
-            self._results[uid] = (probs[i], float(values[i]))
+            self._results[uid] = (
+                error if error is not None else (probs[i], float(values[i]))
+            )
         self._cv.notify_all()
 
 

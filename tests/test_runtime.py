@@ -248,3 +248,26 @@ def test_metrics_writer(tmp_path):
     scalars = acc.Scalars("train/loss")
     assert [(s.step, s.value) for s in scalars] == [(1, 1.25), (2, 0.75)]
     assert acc.Scalars("b")[0].value == 2.0
+
+
+def test_replay_add_overflow_keeps_newest():
+    """A single add larger than capacity must keep exactly the NEWEST
+    `capacity` samples (wrapped slots would otherwise scatter duplicates
+    whose winner XLA leaves unspecified)."""
+    import jax.numpy as jnp
+
+    from custom_alphazero_tpu.replay.buffer import replay_add, replay_init
+    from custom_alphazero_tpu.runtime.selfplay import SelfPlayBatch
+
+    cap, n = 8, 20
+    replay = replay_init(cap, (1,), 3)
+    batch = SelfPlayBatch(
+        obs=jnp.arange(n, dtype=jnp.float32).reshape(n, 1),
+        policy=jnp.zeros((n, 3)),
+        value=jnp.arange(n, dtype=jnp.float32),
+        valid=jnp.ones((n,), bool),
+    )
+    replay = replay_add(replay, batch)
+    assert int(replay.size) == cap
+    got = sorted(np.asarray(replay.value).tolist())
+    assert got == list(range(n - cap, n))  # newest 8 survive
