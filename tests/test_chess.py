@@ -329,3 +329,38 @@ def test_phantom_ep_does_not_split_repetition_hash():
     with_ep2 = np.asarray(E._position_hash(flat2, s2.castling, s2.ep_file))
     without2 = np.asarray(E._position_hash(flat2, s2.castling, jnp.int32(-1)))
     assert not np.array_equal(with_ep2, without2)
+
+
+def test_legality_matches_naive_simulation_on_random_games():
+    """Cross-validate the pin/check-classification legality against an
+    independent naive checker (tests/reference_chess.py: simulate every
+    move, scan the whole board for king attacks) along random games."""
+    from tests import reference_chess as RC
+
+    env = Chess()
+    rng = np.random.default_rng(17)
+    step = jax.jit(env.step)
+    positions = 0
+    for game in range(6):
+        state = env.init()
+        for ply in range(70):
+            if bool(state.terminal):
+                break
+            got = np.asarray(env.legal_mask(state))
+            want, want_check = RC.legal_mask(
+                np.asarray(state.board),
+                np.asarray(state.castling),
+                int(state.ep_file),
+            )
+            if not np.array_equal(got, want):
+                diff = np.nonzero(got != want)[0]
+                raise AssertionError(
+                    f"game {game} ply {ply}: mismatch at actions "
+                    f"{[T.ACTION_UCI[i] for i in diff]} "
+                    f"(engine={got[diff]}, naive={want[diff]})"
+                )
+            assert bool(state.in_check) == want_check
+            positions += 1
+            legal = np.nonzero(got)[0]
+            state, _ = step(state, jnp.int32(int(rng.choice(legal))))
+    assert positions > 100
