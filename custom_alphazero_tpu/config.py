@@ -62,6 +62,15 @@ class MCTSConfig:
     # floor (search/mcts.py static slots), extra slots cost memory but
     # change nothing. 0 = exactly one slot per simulation.
     max_nodes: int = 0
+    # Self-play subtree reuse between moves (the reference re-roots the tree
+    # at the played child and keeps its statistics, mcts.py:207). The kept
+    # subtree is compacted into a tree of capacity max(max_nodes,
+    # 2*simulations); when it doesn't fit, nodes are dropped by ascending
+    # edge-visit rank (search/mcts.py advance_root). Off by default: fresh
+    # trees take the faster static-slot / fused-Pallas path. Arena
+    # evaluation always uses fresh trees, like the reference
+    # (evaluation/evaluate.py:63-84 rebuilds the tree each move).
+    reuse_tree: bool = False
     # Per-node stored prior width for large action spaces: 0 = auto
     # (min(simulations, A) — exact, see search/mcts.py), -1 = full width,
     # > 0 = explicit top-K.

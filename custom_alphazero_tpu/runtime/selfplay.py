@@ -66,22 +66,30 @@ def make_selfplay_fn(
 
     from custom_alphazero_tpu.ops import fused_mcts, fused_mcts_v2
 
+    reuse = mcts_cfg.reuse_tree
     if fused is None:
         fused = (
-            fused_mcts.supports(env, mcts_cfg)
+            not reuse
+            and fused_mcts.supports(env, mcts_cfg)
             and jax.default_backend() == "tpu"
         )
+    assert not (fused and reuse), "fused search builds fresh trees per move"
     fused_search = (
         fused_mcts_v2.FusedConnectNSearchV2(env, mcts_cfg) if fused else None
     )
     mcts = MCTS(env, mcts_cfg)
     num_actions = env.num_actions
+    # Subtree reuse (reference mcts.py:207): capacity for carried + fresh
+    # nodes; the kept subtree is truncated to keep_cap so a search's new
+    # nodes always fit.
+    tree_capacity = max(mcts_cfg.max_nodes, 2 * mcts_cfg.simulations)
+    keep_cap = tree_capacity - mcts_cfg.simulations
 
     def generate(evaluate_fn: EvaluateFn, rng, batch_size: int):
         init_states = jax.vmap(lambda _: env.init())(jnp.arange(batch_size))
 
         def ply_body(carry, _):
-            states, rng = carry
+            states, tree, free, rng = carry
             rng, k_search, k_sample = jax.random.split(rng, 3)
             active = ~jax.vmap(env.is_terminal)(states)
             obs = jax.vmap(env.observe)(states)
@@ -90,11 +98,16 @@ def make_selfplay_fn(
                 root_visits, _ = fused_search.search_root_stats(
                     states, evaluate_fn, k_search, mcts_cfg.simulations
                 )
-            else:
-                tree = mcts.search(
-                    states, evaluate_fn, k_search, mcts_cfg.simulations
+            elif reuse:
+                tree, free = mcts.search_tree(
+                    tree, free, evaluate_fn, k_search, mcts_cfg.simulations
                 )
                 root_visits = mcts.root_child_visits(tree)
+            else:
+                fresh_tree = mcts.search(
+                    states, evaluate_fn, k_search, mcts_cfg.simulations
+                )
+                root_visits = mcts.root_child_visits(fresh_tree)
             visits = root_visits.astype(jnp.float32)  # (B, A)
             visit_sum = jnp.maximum(visits.sum(axis=-1, keepdims=True), 1.0)
             probs = visits / visit_sum
@@ -113,10 +126,26 @@ def make_selfplay_fn(
             )(keys, safe_pi)
 
             next_states, rewards = jax.vmap(env.step)(states, actions)
-            return (next_states, rng), (obs, pi, active, rewards)
+            if reuse:
+                tree, free = mcts.advance_root(
+                    tree, actions, keep_cap, next_states
+                )
+            return (next_states, tree, free, rng), (obs, pi, active, rewards)
 
-        (final_states, _), (obs_seq, pi_seq, active_seq, reward_seq) = jax.lax.scan(
-            ply_body, (init_states, rng), length=max_plies
+        if reuse:
+            init_tree = jax.vmap(
+                lambda s: mcts.init_tree(s, tree_capacity)
+            )(init_states)
+            init_free = jnp.ones((batch_size,), jnp.int32)
+        else:
+            # Fresh-tree paths ignore the carried tree; keep the carry tiny.
+            init_tree = jnp.zeros((batch_size,), jnp.int32)
+            init_free = jnp.zeros((batch_size,), jnp.int32)
+        (final_states, _, _, _), (obs_seq, pi_seq, active_seq, reward_seq) = (
+            jax.lax.scan(
+                ply_body, (init_states, init_tree, init_free, rng),
+                length=max_plies,
+            )
         )
         # active_seq: (T, B); games are absorbing so active is a prefix mask.
         lengths = active_seq.sum(axis=0)                      # (B,)

@@ -655,6 +655,306 @@ class MCTS:
         tree, _ = jax.lax.fori_loop(0, simulations, sim_body, (tree, rng))
         return tree
 
+    # -- subtree reuse across moves ------------------------------------------
+    #
+    # The reference re-roots the tree at the played child and keeps its
+    # subtree's statistics between moves (mcts.py:207, play() advances
+    # self.root and the next search continues on top). The static-slot
+    # layout above assumes a fresh tree per search (wave i writes slot i,
+    # batch-uniform), so reuse gets its own pair of entry points:
+    #
+    # - ``advance_root(tree, actions, keep_cap, new_root_states)`` re-roots
+    #   a searched tree at each game's played child, compacting the kept
+    #   subtree into the low slots (visit-ranked truncation to ``keep_cap``
+    #   nodes when it doesn't fit), and
+    # - ``search_tree(tree, free, ...)`` runs more simulations on a carried
+    #   tree with *dynamic* per-game slots (each game's next node goes to
+    #   its own ``free`` cursor — a (B, N) one-hot blend per write instead
+    #   of the batch-uniform dynamic-update-slice).
+    #
+    # Search semantics on the carried tree are exactly the reference's: the
+    # retained root arrives expanded, so every simulation descends and backs
+    # up (the no-backup rule only ever applies to a fresh, unexpanded root —
+    # the reference's empty path_cache, mcts.py:170-180). Truncation is the
+    # one capacity-forced deviation (the reference's Python tree grows
+    # unboundedly): nodes are kept by descending edge-visit rank, which is
+    # parent-closed — an edge's visits are >= any of its children's edges'
+    # visits, and ties resolve to the parent because nodes are created
+    # parent-before-child (slot order is creation order, preserved by the
+    # compaction) — so no kept node ever dangles. With ``keep_cap`` at
+    # least as large as the subtree (e.g. capacity >= simulations *
+    # max_plies in tests), behavior is bit-exact reference reuse.
+    # Full-width priors only (reuse + top-K compression is unsupported).
+
+    def advance_root(self, tree: Tree, actions, keep_cap: int,
+                     new_root_states) -> Tuple[Tree, jnp.ndarray]:
+        """Re-root each game's tree at the child reached by ``actions``.
+
+        new_root_states: the already-stepped env states (callers step the
+            root state for sample recording anyway).
+        Returns (tree, free) where free (B,) counts the occupied low slots.
+        If a game's played child has no node (zero-visit action — possible
+        only degenerately, e.g. a 1-simulation search), its tree comes back
+        empty: just the unexpanded new root, exactly what the reference's
+        never-evaluated child node behaves like (edges=None -> the next
+        search's first simulation expands it with no backup).
+        """
+        assert tree.prior_acts is None, (
+            "subtree reuse requires full-width priors (topk_actions=-1)"
+        )
+        env = self.env
+        n = tree.parent.shape[1]
+        batch = tree.parent.shape[0]
+        idx = jnp.arange(n, dtype=jnp.int32)[None, :]
+
+        # The played child c* of the root (UNVISITED if none exists).
+        match = (tree.parent == 0) & (
+            tree.parent_action == actions[:, None].astype(jnp.int32)
+        )
+        cstar = jnp.max(jnp.where(match, idx, UNVISITED), axis=1)  # (B,)
+
+        # Descendants of c* (inclusive) by ancestor pointer doubling.
+        anc = jnp.where(tree.parent < 0, idx, tree.parent)
+        desc = idx == cstar[:, None]
+        hops = 1
+        while hops < n:
+            desc = desc | jnp.take_along_axis(desc, anc, axis=1)
+            anc = jnp.take_along_axis(anc, anc, axis=1)
+            hops *= 2
+
+        # Rank descendants by (edge visits desc, creation order asc) — a
+        # parent-closed order (see block comment) — and keep the first
+        # keep_cap; everything else sorts to the back.
+        v = tree.visits.astype(jnp.int32)
+        key = jnp.where(desc, -v * n + idx, jnp.iinfo(jnp.int32).max)
+        order = jnp.argsort(key, axis=1).astype(jnp.int32)  # rank -> old slot
+        rank = jnp.argsort(order, axis=1).astype(jnp.int32)  # old slot -> rank
+        desc_count = jnp.sum(desc, axis=1).astype(jnp.int32)
+        keep_count = jnp.minimum(desc_count, keep_cap)
+        kept_rank = idx < keep_count[:, None]  # (B, N) mask in rank frame
+
+        def permute(arr, fill):
+            out = jnp.take_along_axis(
+                arr,
+                order if arr.ndim == 2 else order[:, :, None],
+                axis=1,
+            )
+            cond = kept_rank if arr.ndim == 2 else kept_rank[:, :, None]
+            return jnp.where(cond, out, jnp.asarray(fill, arr.dtype))
+
+        # Parent pointers, re-mapped old->rank; the new root gets NO_PARENT.
+        parent_old = permute(tree.parent, 0)  # old-frame parents of kept rows
+        new_parent = jnp.take_along_axis(
+            rank, jnp.clip(parent_old, 0, n - 1), axis=1
+        )
+        new_parent = jnp.where(kept_rank, new_parent, NO_PARENT)
+        new_parent = new_parent.at[:, 0].set(NO_PARENT)
+
+        empty = keep_count == 0  # no carried subtree: fresh root at slot 0
+        root_terminal = jax.vmap(env.is_terminal)(new_root_states)
+        root_reward = -jax.vmap(env.terminal_value)(new_root_states)
+
+        def root0(arr, value):
+            """Blend slot-0 root init values for games with empty trees."""
+            return arr.at[:, 0].set(
+                jnp.where(empty, value.astype(arr.dtype), arr[:, 0])
+            )
+
+        new_tree = Tree(
+            root_state=new_root_states,
+            parent=new_parent,
+            parent_action=permute(tree.parent_action, 0),
+            # The edge INTO the new root is gone (reference: the re-rooted
+            # node's own UCTEdge is discarded with its parent).
+            visits=permute(tree.visits, 0.0).at[:, 0].set(0.0),
+            value_sum=permute(tree.value_sum, 0.0).at[:, 0].set(0.0),
+            prior=permute(tree.prior, 0.0),
+            expanded=root0(
+                permute(tree.expanded, False), jnp.zeros((batch,), jnp.bool_)
+            ),
+            is_terminal=root0(permute(tree.is_terminal, False), root_terminal),
+            reward=root0(permute(tree.reward, 0.0), root_reward),
+            value_evaluated=permute(tree.value_evaluated, 0.0),
+            node_count=jnp.maximum(keep_count, 1),
+        )
+        return new_tree, jnp.maximum(keep_count, 1)
+
+    def search_tree(self, tree: Tree, free, evaluate_fn: EvaluateFn, rng,
+                    simulations: int) -> Tuple[Tree, jnp.ndarray]:
+        """Run ``simulations`` more PUCT simulations on a carried tree.
+
+        free: (B,) per-game count of occupied slots (the next node's slot).
+        The tree must have full-width priors and capacity >= max(free) +
+        simulations (``advance_root(keep_cap = capacity - simulations)``
+        guarantees it). Returns the updated (tree, free).
+        """
+        assert tree.prior_acts is None, (
+            "subtree reuse requires full-width priors (topk_actions=-1)"
+        )
+        env, a = self.env, self.env.num_actions
+        n = tree.parent.shape[1]
+        batch = tree.parent.shape[0]
+
+        def read_node(arr, node):
+            return jnp.einsum(
+                "bn,bn->b", _onehot(node, n), arr.astype(jnp.float32)
+            )
+
+        def write_at(arr, node, value, mask):
+            """arr[b, node[b]] = value[b] where mask[b] — per-game dynamic
+            slots as a (B, N) compare-and-blend (no scatter)."""
+            hit = (jnp.arange(n)[None, :] == node[:, None]) & mask[:, None]
+            if arr.ndim == 2:
+                return jnp.where(hit, value[:, None].astype(arr.dtype), arr)
+            return jnp.where(
+                hit[:, :, None], value[:, None, :].astype(arr.dtype), arr
+            )
+
+        def sim_body(_, carry):
+            tree, free, rng = carry
+            rng, knoise = jax.random.split(rng)
+            root_prior = self._root_noisy_prior(tree.prior[:, 0], knoise)
+
+            # Per-wave PUCT precompute (same restructure as `search`).
+            nv, w = self._edge_stats(tree, n)
+            prior_eff = jnp.where(
+                (jnp.arange(n) == 0)[None, :, None],
+                root_prior[:, None, :],
+                tree.prior,
+            )
+            best_a = self._ucb_action(prior_eff, nv, w)  # (B, N)
+            cmatch = (
+                tree.parent[:, :, None] == jnp.arange(n)[None, None, :]
+            ) & (
+                tree.parent_action[:, :, None] == best_a[:, None, :]
+            )  # (B, C, N)
+            best_child = jnp.max(
+                jnp.where(cmatch, jnp.arange(n)[None, :, None], UNVISITED),
+                axis=1,
+            ).astype(jnp.int32)  # (B, N)
+
+            # SELECT: descend carrying the env state.
+            def cond(c):
+                return jnp.any(c[2] == _CONTINUE)
+
+            def body(c):
+                node, action, code, state = c
+                best = jnp.einsum(
+                    "bn,bn->b", _onehot(node, n), best_a.astype(jnp.float32)
+                ).astype(jnp.int32)
+                child = jnp.einsum(
+                    "bn,bn->b", _onehot(node, n),
+                    best_child.astype(jnp.float32),
+                ).astype(jnp.int32)
+                node_terminal = read_node(tree.is_terminal, node) > 0
+                node_expanded = read_node(tree.expanded, node) > 0
+                new_code = jnp.where(
+                    code != _CONTINUE,
+                    code,
+                    jnp.where(
+                        node_terminal,
+                        _TERMINAL,
+                        jnp.where(
+                            ~node_expanded,
+                            _UNEXPANDED,
+                            jnp.where(child == UNVISITED, _NEW, _CONTINUE),
+                        ),
+                    ),
+                ).astype(jnp.int32)
+                action = jnp.where(code == _CONTINUE, best, action)
+                descend = new_code == _CONTINUE
+                stepped = jax.vmap(env.step_lite)(state, action)
+                state = jax.tree.map(
+                    lambda cur, nxt: jnp.where(
+                        descend.reshape((-1,) + (1,) * (nxt.ndim - 1)),
+                        nxt, cur,
+                    ),
+                    state, stepped,
+                )
+                node = jnp.where(descend, child, node)
+                return node, action, new_code, state
+
+            init = (
+                jnp.zeros((batch,), jnp.int32),
+                jnp.zeros((batch,), jnp.int32),
+                jnp.full((batch,), _CONTINUE, jnp.int32),
+                tree.root_state,
+            )
+            node, action, code, state = jax.lax.while_loop(cond, body, init)
+
+            # CREATE the selected child at each game's free cursor.
+            new = code == _NEW
+            child_state, reward = jax.vmap(env.step)(state, action)
+            slot = free
+            leaf = jnp.where(new, slot, node)
+            expand_dims = lambda x, ref: x.reshape(
+                (-1,) + (1,) * (ref.ndim - 1)
+            )
+            leaf_state = jax.tree.map(
+                lambda cs, s: jnp.where(expand_dims(new, cs), cs, s),
+                child_state, state,
+            )
+            child_terminal = jax.vmap(env.is_terminal)(child_state)
+            node_terminal = read_node(tree.is_terminal, node) > 0
+            node_reward = read_node(tree.reward, node)
+            leaf_terminal = jnp.where(new, child_terminal, node_terminal)
+            leaf_reward = jnp.where(new, reward, node_reward)
+
+            obs = jax.vmap(env.observe)(leaf_state)
+            probs, values = evaluate_fn(obs)
+
+            tree = tree.replace(
+                parent=write_at(tree.parent, slot, node, new),
+                parent_action=write_at(tree.parent_action, slot, action, new),
+                is_terminal=write_at(tree.is_terminal, slot, child_terminal,
+                                     new),
+                reward=write_at(tree.reward, slot, reward, new),
+                node_count=tree.node_count + new.astype(jnp.int32),
+            )
+            free = free + new.astype(jnp.int32)
+
+            # EXPAND the leaf (fresh child, or an unexpanded root).
+            leaf_expanded = read_node(tree.expanded, leaf) > 0
+            do = ~leaf_expanded & ~leaf_terminal
+            legal = jax.vmap(env.legal_mask)(leaf_state)
+            renormed = self._renormalize(probs, legal)
+            tree = tree.replace(
+                prior=write_at(tree.prior, leaf, renormed, do),
+                value_evaluated=write_at(
+                    tree.value_evaluated, leaf, values, do
+                ),
+                expanded=write_at(
+                    tree.expanded, leaf, jnp.ones((batch,), jnp.bool_), do
+                ),
+            )
+
+            # BACKUP along the parent chain (root leaf loops zero times).
+            leaf_value = jnp.where(leaf_terminal, leaf_reward, -values)
+
+            def bcond(c):
+                return jnp.any(c[0] > 0)
+
+            def bbody(c):
+                bnode, bvalue, visits, value_sum = c
+                active = bnode > 0
+                oh = _onehot(bnode, n) * active[:, None].astype(jnp.float32)
+                visits = visits + oh
+                value_sum = value_sum + oh * bvalue[:, None]
+                parent = read_node(tree.parent, bnode).astype(jnp.int32)
+                bnode = jnp.where(active, parent, bnode)
+                return bnode, -bvalue, visits, value_sum
+
+            _, _, visits, value_sum = jax.lax.while_loop(
+                bcond, bbody, (leaf, leaf_value, tree.visits, tree.value_sum)
+            )
+            tree = tree.replace(visits=visits, value_sum=value_sum)
+            return tree, free, rng
+
+        tree, free, _ = jax.lax.fori_loop(
+            0, simulations, sim_body, (tree, free, rng)
+        )
+        return tree, free
+
     # -- outputs -----------------------------------------------------------
 
     def root_child_visits(self, tree: Tree) -> jnp.ndarray:

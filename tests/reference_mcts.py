@@ -92,6 +92,12 @@ class RefMCTS:
         for _ in range(simulations):
             self.simulate()
 
+    def advance(self, action):
+        """Re-root at the played child, keeping its subtree's statistics
+        (the reference's play() subtree reuse, mcts.py:207)."""
+        edge = next(e for e in self.root.edges if e.action == action)
+        self.root = edge.child
+
     def root_child_visits(self, num_actions):
         out = np.zeros(num_actions, np.int32)
         if self.root.edges:
