@@ -120,6 +120,20 @@ def test_tp_sharded_dense_forward_matches():
     assert any("model" in str(spec) for spec in specs)
 
 
+def test_scaling_benchmark_runs_on_mesh():
+    """The scaling tool's shard-mapped rollout partitions games over the
+    data axis and reports per-mesh-size throughput (the BASELINE.md
+    scaling-efficiency measurement, meaningful on real multi-chip)."""
+    from custom_alphazero_tpu.tools.scaling import measure
+
+    r1 = measure(1, per_device_games=4, sims=6, plies=2,
+                 devices=jax.devices(), iters=1)
+    r8 = measure(8, per_device_games=4, sims=6, plies=2,
+                 devices=jax.devices(), iters=1)
+    assert r1["devices"] == 1 and r8["devices"] == 8
+    assert r1["env_steps_per_s"] > 0 and r8["env_steps_per_s"] > 0
+
+
 def test_sharded_selfplay_runs_and_matches_semantics():
     mesh_cfg = MeshConfig(data_parallelism=8, model_parallelism=1)
     mesh = make_mesh(mesh_cfg)
