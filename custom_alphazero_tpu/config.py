@@ -107,6 +107,15 @@ class SelfPlayConfig:
     games_per_generation: int = 256
     discount: float = 1.0
     exclude_draws: bool = True
+    # Continuous (auto-reset) generation: a finished game's slot restarts
+    # immediately instead of idling until the lockstep batch's longest game
+    # ends (in a large batch the max game length approaches the board size,
+    # so absorbed slots otherwise waste ~40-60% of all search waves on
+    # Connect-4). Samples are assembled per completed segment with the
+    # reference's exact z construction; the trailing incomplete game is
+    # dropped. Off by default: the plain mode reproduces the reference's
+    # one-batch-of-games-per-iteration shape (self_play.py:85-119).
+    continuous: bool = False
 
 
 @dataclass(frozen=True)

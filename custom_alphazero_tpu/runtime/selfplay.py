@@ -17,6 +17,13 @@ Sample semantics reproduce the reference exactly:
   distance d = L-1-t from the end, z_t = r * (-1)^d * discount^d
   (self_play.py:69-78: repeat, flip odd-from-end signs, geometric discount).
 - Draw games can be excluded from the sample set (self_play.py:155-162).
+
+Two throughput options on top (both default-off, semantics per segment
+unchanged): ``mcts.reuse_tree`` carries each game's search tree across
+moves like the reference (mcts.py:207), and ``self_play.continuous``
+auto-resets finished slots so no search wave is wasted on absorbed games
+(the trailing incomplete game per slot is dropped; tests/test_continuous.py
+proves first-game sample equality with the plain mode under a shared seed).
 """
 
 from __future__ import annotations
@@ -87,6 +94,17 @@ def make_selfplay_fn(
 
     def generate(evaluate_fn: EvaluateFn, rng, batch_size: int):
         init_states = jax.vmap(lambda _: env.init())(jnp.arange(batch_size))
+        fresh_states = init_states
+        if reuse:
+            init_tree = jax.vmap(
+                lambda s: mcts.init_tree(s, tree_capacity)
+            )(init_states)
+            init_free = jnp.ones((batch_size,), jnp.int32)
+        else:
+            # Fresh-tree paths ignore the carried tree; keep the carry tiny.
+            init_tree = jnp.zeros((batch_size,), jnp.int32)
+            init_free = jnp.zeros((batch_size,), jnp.int32)
+        fresh_tree = init_tree
 
         def ply_body(carry, _):
             states, tree, free, rng = carry
@@ -104,14 +122,15 @@ def make_selfplay_fn(
                 )
                 root_visits = mcts.root_child_visits(tree)
             else:
-                fresh_tree = mcts.search(
+                searched = mcts.search(
                     states, evaluate_fn, k_search, mcts_cfg.simulations
                 )
-                root_visits = mcts.root_child_visits(fresh_tree)
+                root_visits = mcts.root_child_visits(searched)
             visits = root_visits.astype(jnp.float32)  # (B, A)
             visit_sum = jnp.maximum(visits.sum(axis=-1, keepdims=True), 1.0)
             probs = visits / visit_sum
-            greedy = jax.vmap(lambda s: s.fullmove)(states) >= mcts_cfg.greedy_from_move
+            mv = jax.vmap(lambda s: s.fullmove)(states)
+            greedy = mv >= mcts_cfg.greedy_from_move
             one_hot = jax.nn.one_hot(jnp.argmax(visits, axis=-1), num_actions)
             pi = jnp.where(greedy[:, None], one_hot, probs)
 
@@ -130,36 +149,94 @@ def make_selfplay_fn(
                 tree, free = mcts.advance_root(
                     tree, actions, keep_cap, next_states
                 )
-            return (next_states, tree, free, rng), (obs, pi, active, rewards)
-
-        if reuse:
-            init_tree = jax.vmap(
-                lambda s: mcts.init_tree(s, tree_capacity)
-            )(init_states)
-            init_free = jnp.ones((batch_size,), jnp.int32)
-        else:
-            # Fresh-tree paths ignore the carried tree; keep the carry tiny.
-            init_tree = jnp.zeros((batch_size,), jnp.int32)
-            init_free = jnp.zeros((batch_size,), jnp.int32)
-        (final_states, _, _, _), (obs_seq, pi_seq, active_seq, reward_seq) = (
-            jax.lax.scan(
-                ply_body, (init_states, init_tree, init_free, rng),
-                length=max_plies,
+            done = active & jax.vmap(env.is_terminal)(next_states)
+            if sp_cfg.continuous:
+                # Auto-reset finished slots (and their carried trees).
+                blend = lambda f, n: jnp.where(
+                    done.reshape((-1,) + (1,) * (n.ndim - 1)), f, n
+                )
+                next_states = jax.tree.map(blend, fresh_states, next_states)
+                if reuse:
+                    tree = jax.tree.map(blend, fresh_tree, tree)
+                    free = jnp.where(done, 1, free)
+            return (
+                (next_states, tree, free, rng),
+                (obs, pi, active, rewards, done, mv),
             )
+
+        (final_states, _, _, _), (
+            obs_seq, pi_seq, active_seq, reward_seq, done_seq, mv_seq
+        ) = jax.lax.scan(
+            ply_body, (init_states, init_tree, init_free, rng),
+            length=max_plies,
         )
-        # active_seq: (T, B); games are absorbing so active is a prefix mask.
-        lengths = active_seq.sum(axis=0)                      # (B,)
-        # Only a winning final move yields a nonzero reward; draws sum to 0.
-        results = reward_seq.sum(axis=0)                      # (B,) in {0, 1}
 
-        t_idx = jnp.arange(max_plies, dtype=jnp.int32)[:, None]  # (T, 1)
-        dist_from_end = (lengths[None, :] - 1 - t_idx).astype(jnp.float32)
-        sign = jnp.where(jnp.mod(dist_from_end, 2.0) == 0.0, 1.0, -1.0)
-        z = results[None, :] * sign * sp_cfg.discount ** jnp.maximum(dist_from_end, 0.0)
+        if sp_cfg.continuous:
+            # Per-segment assembly, back to front: at a segment's final ply
+            # z = r (the mover's result); before it z_t = -discount *
+            # z_{t+1} — exactly the reference's repeat/sign-flip/discount
+            # construction (self_play.py:69-78) applied per segment. The
+            # trailing incomplete game of each slot never meets a done ply,
+            # so it stays invalid.
+            def back(carry, xs):
+                z_next, valid_next, res_next = carry
+                r, done = xs
+                z = jnp.where(done, r, -sp_cfg.discount * z_next)
+                res = jnp.where(done, r, res_next)
+                valid = done | valid_next
+                return (z, valid, res), (z, valid, res)
 
-        valid = active_seq
-        if sp_cfg.exclude_draws:
-            valid = valid & (results[None, :] != 0)
+            zeros = jnp.zeros((batch_size,), jnp.float32)
+            _, (z, valid, res_seq) = jax.lax.scan(
+                back,
+                (zeros, jnp.zeros((batch_size,), bool), zeros),
+                (reward_seq, done_seq),
+                reverse=True,
+            )
+            if sp_cfg.exclude_draws:
+                valid = valid & (res_seq != 0)
+            games = done_seq.sum()
+            won_seg = done_seq & (reward_seq > 0)
+            seg_len = jnp.where(done_seq, mv_seq + 1, 0)
+            odd_len = done_seq & (jnp.mod(seg_len, 2) == 1)
+            stats = SelfPlayStats(
+                games=games.astype(jnp.int32),
+                plies=active_seq.sum(),
+                wins_first_mover=jnp.sum(won_seg & odd_len),
+                wins_second_mover=jnp.sum(won_seg & ~odd_len),
+                draws=jnp.sum(done_seq & ~won_seg),
+                mean_game_length=seg_len.sum()
+                / jnp.maximum(games, 1).astype(jnp.float32),
+            )
+        else:
+            # active_seq: (T, B); games absorb, so active is a prefix mask.
+            lengths = active_seq.sum(axis=0)                  # (B,)
+            # Only a winning final move yields a nonzero reward; draws sum
+            # to 0.
+            results = reward_seq.sum(axis=0)                  # (B,) in {0, 1}
+
+            t_idx = jnp.arange(max_plies, dtype=jnp.int32)[:, None]  # (T, 1)
+            dist_from_end = (lengths[None, :] - 1 - t_idx).astype(jnp.float32)
+            sign = jnp.where(jnp.mod(dist_from_end, 2.0) == 0.0, 1.0, -1.0)
+            z = results[None, :] * sign * sp_cfg.discount ** jnp.maximum(
+                dist_from_end, 0.0
+            )
+
+            valid = active_seq
+            if sp_cfg.exclude_draws:
+                valid = valid & (results[None, :] != 0)
+
+            # First mover wins games of odd length (moves 0, 2, ...).
+            won = results != 0
+            odd_len = jnp.mod(lengths, 2) == 1
+            stats = SelfPlayStats(
+                games=jnp.int32(batch_size),
+                plies=active_seq.sum(),
+                wins_first_mover=jnp.sum(won & odd_len),
+                wins_second_mover=jnp.sum(won & ~odd_len),
+                draws=jnp.sum(~won),
+                mean_game_length=lengths.astype(jnp.float32).mean(),
+            )
 
         flat = lambda x: x.reshape((-1,) + x.shape[2:])
         batch = SelfPlayBatch(
@@ -167,17 +244,6 @@ def make_selfplay_fn(
             policy=flat(pi_seq),
             value=flat(z).astype(jnp.float32),
             valid=flat(valid),
-        )
-        # First mover wins games of odd length (they make moves 0, 2, ...).
-        won = results != 0
-        odd_len = jnp.mod(lengths, 2) == 1
-        stats = SelfPlayStats(
-            games=jnp.int32(batch_size),
-            plies=active_seq.sum(),
-            wins_first_mover=jnp.sum(won & odd_len),
-            wins_second_mover=jnp.sum(won & ~odd_len),
-            draws=jnp.sum(~won),
-            mean_game_length=lengths.astype(jnp.float32).mean(),
         )
         return batch, stats
 
