@@ -75,6 +75,16 @@ class MCTSConfig:
     # (min(simulations, A) — exact, see search/mcts.py), -1 = full width,
     # > 0 = explicit top-K.
     topk_actions: int = 0
+    # Gumbel sequential-halving root search (search/gumbel.py) — a
+    # beyond-the-reference mode for small simulation budgets: root actions
+    # follow a static halving schedule over the top-m Gumbel-perturbed
+    # candidates, the policy target is the improved policy (not visit
+    # counts), and exploration comes from the Gumbel draw (Dirichlet noise
+    # and greedy_from_move are ignored).
+    use_gumbel: bool = False
+    gumbel_max_considered: int = 16  # m: root candidate actions
+    gumbel_c_visit: float = 50.0
+    gumbel_c_scale: float = 1.0
 
 
 @dataclass(frozen=True)

@@ -74,13 +74,22 @@ def make_selfplay_fn(
     from custom_alphazero_tpu.ops import fused_mcts, fused_mcts_v2
 
     reuse = mcts_cfg.reuse_tree
+    gumbel = mcts_cfg.use_gumbel
     if fused is None:
         fused = (
             not reuse
+            and not gumbel
             and fused_mcts.supports(env, mcts_cfg)
             and jax.default_backend() == "tpu"
         )
     assert not (fused and reuse), "fused search builds fresh trees per move"
+    assert not (gumbel and (reuse or fused)), (
+        "gumbel search uses fresh full-width trees"
+    )
+    if gumbel:
+        from custom_alphazero_tpu.search.gumbel import GumbelMCTS
+
+        gumbel_search = GumbelMCTS(env, mcts_cfg)
     fused_search = (
         fused_mcts_v2.FusedConnectNSearchV2(env, mcts_cfg) if fused else None
     )
@@ -112,37 +121,51 @@ def make_selfplay_fn(
             active = ~jax.vmap(env.is_terminal)(states)
             obs = jax.vmap(env.observe)(states)
 
-            if fused_search is not None:
-                root_visits, _ = fused_search.search_root_stats(
-                    states, evaluate_fn, k_search, mcts_cfg.simulations
-                )
-            elif reuse:
-                tree, free = mcts.search_tree(
-                    tree, free, evaluate_fn, k_search, mcts_cfg.simulations
-                )
-                root_visits = mcts.root_child_visits(tree)
-            else:
-                searched = mcts.search(
-                    states, evaluate_fn, k_search, mcts_cfg.simulations
-                )
-                root_visits = mcts.root_child_visits(searched)
-            visits = root_visits.astype(jnp.float32)  # (B, A)
-            visit_sum = jnp.maximum(visits.sum(axis=-1, keepdims=True), 1.0)
-            probs = visits / visit_sum
             mv = jax.vmap(lambda s: s.fullmove)(states)
-            greedy = mv >= mcts_cfg.greedy_from_move
-            one_hot = jax.nn.one_hot(jnp.argmax(visits, axis=-1), num_actions)
-            pi = jnp.where(greedy[:, None], one_hot, probs)
+            if gumbel:
+                # Gumbel mode: play the sequential-halving winner, train on
+                # the improved policy (exploration = the Gumbel draw).
+                _, actions, pi = gumbel_search.search(
+                    states, evaluate_fn, k_search, mcts_cfg.simulations
+                )
+            else:
+                if fused_search is not None:
+                    root_visits, _ = fused_search.search_root_stats(
+                        states, evaluate_fn, k_search, mcts_cfg.simulations
+                    )
+                elif reuse:
+                    tree, free = mcts.search_tree(
+                        tree, free, evaluate_fn, k_search,
+                        mcts_cfg.simulations,
+                    )
+                    root_visits = mcts.root_child_visits(tree)
+                else:
+                    searched = mcts.search(
+                        states, evaluate_fn, k_search, mcts_cfg.simulations
+                    )
+                    root_visits = mcts.root_child_visits(searched)
+                visits = root_visits.astype(jnp.float32)  # (B, A)
+                visit_sum = jnp.maximum(
+                    visits.sum(axis=-1, keepdims=True), 1.0
+                )
+                probs = visits / visit_sum
+                greedy = mv >= mcts_cfg.greedy_from_move
+                one_hot = jax.nn.one_hot(
+                    jnp.argmax(visits, axis=-1), num_actions
+                )
+                pi = jnp.where(greedy[:, None], one_hot, probs)
 
-            # Sample ∝ pi (greedy rows are one-hot, so sampling == argmax).
-            keys = jax.random.split(k_sample, batch_size)
-            safe_pi = jnp.where(
-                pi.sum(axis=-1, keepdims=True) > 0, pi,
-                jax.nn.one_hot(jnp.zeros(batch_size, jnp.int32), num_actions),
-            )
-            actions = jax.vmap(
-                lambda k, p: jax.random.categorical(k, jnp.log(p + 1e-30))
-            )(keys, safe_pi)
+                # Sample ∝ pi (greedy rows are one-hot: sampling == argmax).
+                keys = jax.random.split(k_sample, batch_size)
+                safe_pi = jnp.where(
+                    pi.sum(axis=-1, keepdims=True) > 0, pi,
+                    jax.nn.one_hot(
+                        jnp.zeros(batch_size, jnp.int32), num_actions
+                    ),
+                )
+                actions = jax.vmap(
+                    lambda k, p: jax.random.categorical(k, jnp.log(p + 1e-30))
+                )(keys, safe_pi)
 
             next_states, rewards = jax.vmap(env.step)(states, actions)
             if reuse:

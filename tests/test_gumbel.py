@@ -1,0 +1,139 @@
+"""Gumbel sequential-halving search (search/gumbel.py): schedule
+invariants, budget accounting, tactical correctness, improved-policy
+properties and self-play integration."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from custom_alphazero_tpu.config import (
+    ConnectNConfig,
+    MCTSConfig,
+    SelfPlayConfig,
+)
+from custom_alphazero_tpu.envs.connect_n import ConnectN
+from custom_alphazero_tpu.runtime.selfplay import make_selfplay_fn
+from custom_alphazero_tpu.search.gumbel import GumbelMCTS, halving_schedule
+from tests.reference_numpy import RefConnectN
+from tests.test_mcts import batched_roots, uniform_eval_batch
+
+CFG = ConnectNConfig()
+ENV = ConnectN(CFG)
+A = CFG.num_actions
+
+
+def test_halving_schedule_invariants():
+    for m, sims in [(16, 32), (7, 49), (4, 15), (2, 5), (1, 9), (8, 8)]:
+        slots, halves, alives = halving_schedule(m, sims)
+        assert len(slots) == len(halves) == len(alives) == sims
+        assert (slots < alives).all() and (slots >= 0).all()
+        # Alive counts only shrink, by halving, and end >= 1.
+        diffs = np.diff(alives)
+        assert (diffs <= 0).all()
+        assert alives[0] == min(m, alives[0]) <= m
+        assert alives[-1] >= 1
+        # A halve flag is set exactly where alive drops on the next wave.
+        drops = np.nonzero(diffs < 0)[0]
+        assert set(drops) == set(np.nonzero(halves[:-1])[0])
+        for t in drops:
+            assert alives[t + 1] == max(alives[t] // 2, 1)
+
+
+def search_position(moves, sims, m=4, seed=0):
+    board = RefConnectN()
+    board.move_history = []
+    for mv in moves:
+        board.play(mv)
+        board.move_history.append(mv)
+    roots = batched_roots([board])
+    gm = GumbelMCTS(ENV, MCTSConfig(
+        simulations=sims, gumbel_max_considered=m))
+    run = jax.jit(
+        lambda rs, k: gm.search(rs, uniform_eval_batch, k, sims)
+    )
+    tree, action, pi = run(roots, jax.random.PRNGKey(seed))
+    return gm, tree, int(np.asarray(action)[0]), np.asarray(pi)[0]
+
+
+def test_budget_and_candidate_bound():
+    gm, tree, action, pi = search_position([], sims=33, m=4)
+    visits = np.asarray(gm.root_child_visits(tree))[0]
+    assert visits.sum() == 32  # root-eval wave performs no backup
+    assert (visits > 0).sum() <= 4  # only candidates receive root visits
+    np.testing.assert_allclose(pi.sum(), 1.0, atol=1e-5)
+
+
+def test_finds_immediate_win_and_boosts_policy():
+    # Mover has three in a row in column 2 (test_mcts fixture). m = 7:
+    # every action is a candidate — with a smaller m the uniform prior
+    # gives the winning move only a chance of being sampled at all, which
+    # is correct Gumbel-top-k behavior but not what this test probes.
+    for seed in range(3):
+        gm, tree, action, pi = search_position(
+            [2, 0, 2, 0, 2, 1], sims=32, m=7, seed=seed
+        )
+        assert action == 2
+        # Improved policy concentrates on the winning move beyond the
+        # uniform prior.
+        assert pi.argmax() == 2 and pi[2] > 1.0 / A
+
+
+def test_blocks_immediate_loss():
+    # Needs enough phase-0 visits per candidate for the deterministic
+    # non-root rule (which probes opponent replies in improved-policy
+    # order) to reach the refutation under a uniform prior: with m = 7 and
+    # 200 sims each candidate's child gets ~9 phase-0 visits, so every
+    # non-blocking candidate's q turns negative before the first halving.
+    for seed in range(3):
+        _, _, action, _ = search_position(
+            [3, 0, 3, 0, 3], sims=200, m=7, seed=seed
+        )
+        assert action == 3
+
+
+def test_improved_policy_legal_support():
+    # Column 0 full: its action must be excluded from pi'.
+    moves = [0, 0, 0, 0, 0, 0]
+    _, _, _, pi = search_position(moves, sims=16, m=4)
+    assert pi[0] == 0.0
+    np.testing.assert_allclose(pi.sum(), 1.0, atol=1e-5)
+    assert (pi[1:] > 0).all()
+
+
+def test_gumbel_exploration_varies_with_key():
+    actions = set()
+    for seed in range(6):
+        _, _, action, _ = search_position([], sims=8, m=7, seed=seed)
+        actions.add(action)
+    assert len(actions) > 1  # different Gumbel draws explore differently
+
+
+def test_selfplay_gumbel_generates_valid_samples():
+    cfg = ConnectNConfig(width=5, height=4, n=3)
+    env = ConnectN(cfg)
+    T = cfg.width * cfg.height
+    sp = make_selfplay_fn(
+        env,
+        MCTSConfig(simulations=12, use_gumbel=True, gumbel_max_considered=4),
+        SelfPlayConfig(exclude_draws=False),
+        T,
+    )
+
+    def uniform(obs):
+        return (
+            jnp.ones((obs.shape[0], cfg.num_actions)) / cfg.num_actions,
+            jnp.zeros((obs.shape[0],)),
+        )
+
+    batch, stats = jax.jit(lambda k: sp(uniform, k, 8))(
+        jax.random.PRNGKey(0)
+    )
+    valid = np.asarray(batch.valid)
+    pi = np.asarray(batch.policy)[valid]
+    z = np.asarray(batch.value)[valid]
+    assert int(stats.games) == 8
+    assert valid.sum() >= 8 * (2 * cfg.n - 1)
+    np.testing.assert_allclose(pi.sum(-1), 1.0, atol=1e-5)
+    assert set(np.unique(np.abs(np.round(z, 6)))) <= {0.0, 1.0}
+    # The improved-policy target is dense (not a visit-count one-hot).
+    assert (np.count_nonzero(pi, axis=-1) > 1).mean() > 0.5
