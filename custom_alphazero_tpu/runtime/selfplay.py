@@ -86,6 +86,14 @@ def make_selfplay_fn(
     assert not (gumbel and (reuse or fused)), (
         "gumbel search uses fresh full-width trees"
     )
+    if reuse and mcts_cfg.topk_actions > 0:
+        # Reuse trees are full-width; an explicit top-K request would be
+        # silently ignored (and full-width chess trees are ~30x larger than
+        # the compressed ones the knob was set for) — refuse loudly.
+        raise ValueError(
+            "mcts.reuse_tree requires full-width priors; unset "
+            "mcts.topk_actions (compression and reuse are exclusive)"
+        )
     if gumbel:
         from custom_alphazero_tpu.search.gumbel import GumbelMCTS
 
@@ -125,7 +133,7 @@ def make_selfplay_fn(
             if gumbel:
                 # Gumbel mode: play the sequential-halving winner, train on
                 # the improved policy (exploration = the Gumbel draw).
-                _, actions, pi = gumbel_search.search(
+                _, actions, pi = gumbel_search.search_select(
                     states, evaluate_fn, k_search, mcts_cfg.simulations
                 )
             else:

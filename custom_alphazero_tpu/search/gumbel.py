@@ -41,10 +41,7 @@ import numpy as np
 from custom_alphazero_tpu.search.mcts import (
     MCTS,
     UNVISITED,
-    _CONTINUE,
     _NEW,
-    _TERMINAL,
-    _UNEXPANDED,
     _onehot,
     EvaluateFn,
 )
@@ -148,10 +145,14 @@ class GumbelMCTS(MCTS):
 
     # -- search --------------------------------------------------------------
 
-    def search(self, root_states, evaluate_fn: EvaluateFn, rng,
-               simulations: int):
+    def search_select(self, root_states, evaluate_fn: EvaluateFn, rng,
+                      simulations: int):
         """Run Gumbel sequential-halving search; returns
         (tree, action (B,), improved_policy (B, A)).
+
+        Named distinctly from MCTS.search on purpose: the return shape
+        differs (tuple vs Tree), so generic MCTS callers are never handed
+        a GumbelMCTS unknowingly.
 
         Simulation 0 evaluates/expands the root (no backup — same as the
         PUCT path); the remaining ``simulations - 1`` are root visits on
@@ -270,53 +271,9 @@ class GumbelMCTS(MCTS):
                 axis=1,
             ).astype(jnp.int32)
 
-            def cond(c):
-                return jnp.any(c[2] == _CONTINUE)
-
-            def body(c):
-                node, action, code, state = c
-                best = jnp.einsum(
-                    "bn,bn->b", _onehot(node, n), best_a.astype(jnp.float32)
-                ).astype(jnp.int32)
-                child = jnp.einsum(
-                    "bn,bn->b", _onehot(node, n),
-                    best_child.astype(jnp.float32),
-                ).astype(jnp.int32)
-                node_terminal = read_node(tree.is_terminal, node) > 0
-                node_expanded = read_node(tree.expanded, node) > 0
-                new_code = jnp.where(
-                    code != _CONTINUE,
-                    code,
-                    jnp.where(
-                        node_terminal,
-                        _TERMINAL,
-                        jnp.where(
-                            ~node_expanded,
-                            _UNEXPANDED,
-                            jnp.where(child == UNVISITED, _NEW, _CONTINUE),
-                        ),
-                    ),
-                ).astype(jnp.int32)
-                action = jnp.where(code == _CONTINUE, best, action)
-                descend = new_code == _CONTINUE
-                stepped = jax.vmap(env.step_lite)(state, action)
-                state = jax.tree.map(
-                    lambda cur, nxt: jnp.where(
-                        descend.reshape((-1,) + (1,) * (nxt.ndim - 1)),
-                        nxt, cur,
-                    ),
-                    state, stepped,
-                )
-                node = jnp.where(descend, child, node)
-                return node, action, new_code, state
-
-            init = (
-                jnp.zeros((batch,), jnp.int32),
-                jnp.zeros((batch,), jnp.int32),
-                jnp.full((batch,), _CONTINUE, jnp.int32),
-                tree.root_state,
+            node, action, code, state = self._descend(
+                tree, best_a, best_child, batch, n
             )
-            node, action, code, state = jax.lax.while_loop(cond, body, init)
 
             # CREATE in the wave's static slot (slot i+1: wave 0 was the
             # root expansion and used slot 0).
@@ -375,23 +332,7 @@ class GumbelMCTS(MCTS):
 
             leaf_value = jnp.where(leaf_terminal, leaf_reward, -values)
 
-            def bcond(c):
-                return jnp.any(c[0] > 0)
-
-            def bbody(c):
-                bnode, bvalue, visits, value_sum = c
-                active = bnode > 0
-                oh = _onehot(bnode, n) * active[:, None].astype(jnp.float32)
-                visits = visits + oh
-                value_sum = value_sum + oh * bvalue[:, None]
-                parent = read_node(tree.parent, bnode).astype(jnp.int32)
-                bnode = jnp.where(active, parent, bnode)
-                return bnode, -bvalue, visits, value_sum
-
-            _, _, visits, value_sum = jax.lax.while_loop(
-                bcond, bbody, (leaf, leaf_value, tree.visits, tree.value_sum)
-            )
-            tree = tree.replace(visits=visits, value_sum=value_sum)
+            tree = self._backup(tree, leaf, leaf_value, n)
 
             # Sequential halving: keep the best half of the alive prefix
             # (sorted descending, so the alive set stays a prefix).

@@ -290,6 +290,98 @@ class MCTS:
         # Keep the legal floor: noise can underflow to zero.
         return jnp.where(legal, jnp.maximum(mixed, 1e-35), 0.0)
 
+    # -- shared select / backup machinery ------------------------------------
+
+    def _descend(self, tree: Tree, best_a, best_child, batch: int, n: int):
+        """SELECT: walk each game from the root along the per-wave
+        (best_a, best_child) tables, carrying the env state with
+        ``step_lite``; stops at a terminal node, an unexpanded node (a
+        fresh root), or an edge with no child yet. Returns
+        (node, action, code, state) — the shared descent of ``search``,
+        ``search_tree`` and the Gumbel search."""
+        env = self.env
+
+        def read_node(arr, node):
+            return jnp.einsum(
+                "bn,bn->b", _onehot(node, n), arr.astype(jnp.float32)
+            )
+
+        def cond(c):
+            return jnp.any(c[2] == _CONTINUE)
+
+        def body(c):
+            node, action, code, state = c
+            best = jnp.einsum(
+                "bn,bn->b", _onehot(node, n), best_a.astype(jnp.float32)
+            ).astype(jnp.int32)
+            child = jnp.einsum(
+                "bn,bn->b", _onehot(node, n),
+                best_child.astype(jnp.float32),
+            ).astype(jnp.int32)
+            node_terminal = read_node(tree.is_terminal, node) > 0
+            node_expanded = read_node(tree.expanded, node) > 0
+            new_code = jnp.where(
+                code != _CONTINUE,
+                code,
+                jnp.where(
+                    node_terminal,
+                    _TERMINAL,
+                    jnp.where(
+                        ~node_expanded,
+                        _UNEXPANDED,
+                        jnp.where(child == UNVISITED, _NEW, _CONTINUE),
+                    ),
+                ),
+            ).astype(jnp.int32)
+            action = jnp.where(code == _CONTINUE, best, action)
+            descend = new_code == _CONTINUE
+            stepped = jax.vmap(env.step_lite)(state, action)
+            state = jax.tree.map(
+                lambda cur, nxt: jnp.where(
+                    descend.reshape((-1,) + (1,) * (nxt.ndim - 1)),
+                    nxt, cur,
+                ),
+                state, stepped,
+            )
+            node = jnp.where(descend, child, node)
+            return node, action, new_code, state
+
+        init = (
+            jnp.zeros((batch,), jnp.int32),
+            jnp.zeros((batch,), jnp.int32),
+            jnp.full((batch,), _CONTINUE, jnp.int32),
+            tree.root_state,
+        )
+        return jax.lax.while_loop(cond, body, init)
+
+    def _backup(self, tree: Tree, leaf, leaf_value, n: int) -> Tree:
+        """BACKUP: add the leaf value along the parent chain with negamax
+        sign alternation (edge stats live on the child node). A root leaf
+        loops zero times — the reference's no-backup first simulation.
+        The full-width path; ``search`` keeps its own variant that also
+        maintains the compressed layout's incremental root statistics."""
+
+        def bcond(c):
+            return jnp.any(c[0] > 0)
+
+        def bbody(c):
+            bnode, bvalue, visits, value_sum = c
+            active = bnode > 0
+            oh = _onehot(bnode, n) * active[:, None].astype(jnp.float32)
+            visits = visits + oh
+            value_sum = value_sum + oh * bvalue[:, None]
+            parent = jnp.einsum(
+                "bn,bn->b", _onehot(bnode, n),
+                tree.parent.astype(jnp.float32),
+            ).astype(jnp.int32)
+            bnode = jnp.where(active, parent, bnode)
+            return bnode, -bvalue, visits, value_sum
+
+        _, _, visits, value_sum = jax.lax.while_loop(
+            bcond, bbody, (leaf, leaf_value, tree.visits, tree.value_sum)
+        )
+        return tree.replace(visits=visits, value_sum=value_sum)
+
     # -- edge-statistic reconstruction ---------------------------------------
 
     def _edge_stats(self, tree: Tree, num_nodes: int):
@@ -443,53 +535,9 @@ class MCTS:
                 ).astype(jnp.int32)  # (B, N)
 
             # SELECT: descend carrying the env state.
-            def cond(c):
-                return jnp.any(c[2] == _CONTINUE)
-
-            def body(c):
-                node, action, code, state = c
-                best = jnp.einsum(
-                    "bn,bn->b", _onehot(node, n), best_a.astype(jnp.float32)
-                ).astype(jnp.int32)
-                child = jnp.einsum(
-                    "bn,bn->b", _onehot(node, n),
-                    best_child.astype(jnp.float32),
-                ).astype(jnp.int32)
-                node_terminal = read_node(tree.is_terminal, node) > 0
-                node_expanded = read_node(tree.expanded, node) > 0
-                new_code = jnp.where(
-                    code != _CONTINUE,
-                    code,
-                    jnp.where(
-                        node_terminal,
-                        _TERMINAL,
-                        jnp.where(
-                            ~node_expanded,
-                            _UNEXPANDED,
-                            jnp.where(child == UNVISITED, _NEW, _CONTINUE),
-                        ),
-                    ),
-                ).astype(jnp.int32)
-                action = jnp.where(code == _CONTINUE, best, action)
-                descend = new_code == _CONTINUE
-                stepped = jax.vmap(env.step_lite)(state, action)
-                state = jax.tree.map(
-                    lambda cur, nxt: jnp.where(
-                        descend.reshape((-1,) + (1,) * (nxt.ndim - 1)),
-                        nxt, cur,
-                    ),
-                    state, stepped,
-                )
-                node = jnp.where(descend, child, node)
-                return node, action, new_code, state
-
-            init = (
-                jnp.zeros((batch,), jnp.int32),
-                jnp.zeros((batch,), jnp.int32),
-                jnp.full((batch,), _CONTINUE, jnp.int32),
-                tree.root_state,
+            node, action, code, state = self._descend(
+                tree, best_a, best_child, batch, n
             )
-            node, action, code, state = jax.lax.while_loop(cond, body, init)
 
             # CREATE the selected child in the wave's static slot ``i`` +
             # EVALUATE the wave's leaves. (Wave 0 never creates: the root is
@@ -724,10 +772,15 @@ class MCTS:
 
         # Rank descendants by (edge visits desc, creation order asc) — a
         # parent-closed order (see block comment) — and keep the first
-        # keep_cap; everything else sorts to the back.
+        # keep_cap; everything else sorts to the back. argsort is stable,
+        # so equal-visit ties resolve to the lower (earlier-created) slot
+        # without a composite key (which could overflow int32 at large
+        # capacity x accumulated visits).
         v = tree.visits.astype(jnp.int32)
-        key = jnp.where(desc, -v * n + idx, jnp.iinfo(jnp.int32).max)
-        order = jnp.argsort(key, axis=1).astype(jnp.int32)  # rank -> old slot
+        key = jnp.where(desc, -v, jnp.iinfo(jnp.int32).max)
+        order = jnp.argsort(key, axis=1, stable=True).astype(
+            jnp.int32
+        )  # rank -> old slot
         rank = jnp.argsort(order, axis=1).astype(jnp.int32)  # old slot -> rank
         desc_count = jnp.sum(desc, axis=1).astype(jnp.int32)
         keep_count = jnp.minimum(desc_count, keep_cap)
@@ -834,53 +887,9 @@ class MCTS:
             ).astype(jnp.int32)  # (B, N)
 
             # SELECT: descend carrying the env state.
-            def cond(c):
-                return jnp.any(c[2] == _CONTINUE)
-
-            def body(c):
-                node, action, code, state = c
-                best = jnp.einsum(
-                    "bn,bn->b", _onehot(node, n), best_a.astype(jnp.float32)
-                ).astype(jnp.int32)
-                child = jnp.einsum(
-                    "bn,bn->b", _onehot(node, n),
-                    best_child.astype(jnp.float32),
-                ).astype(jnp.int32)
-                node_terminal = read_node(tree.is_terminal, node) > 0
-                node_expanded = read_node(tree.expanded, node) > 0
-                new_code = jnp.where(
-                    code != _CONTINUE,
-                    code,
-                    jnp.where(
-                        node_terminal,
-                        _TERMINAL,
-                        jnp.where(
-                            ~node_expanded,
-                            _UNEXPANDED,
-                            jnp.where(child == UNVISITED, _NEW, _CONTINUE),
-                        ),
-                    ),
-                ).astype(jnp.int32)
-                action = jnp.where(code == _CONTINUE, best, action)
-                descend = new_code == _CONTINUE
-                stepped = jax.vmap(env.step_lite)(state, action)
-                state = jax.tree.map(
-                    lambda cur, nxt: jnp.where(
-                        descend.reshape((-1,) + (1,) * (nxt.ndim - 1)),
-                        nxt, cur,
-                    ),
-                    state, stepped,
-                )
-                node = jnp.where(descend, child, node)
-                return node, action, new_code, state
-
-            init = (
-                jnp.zeros((batch,), jnp.int32),
-                jnp.zeros((batch,), jnp.int32),
-                jnp.full((batch,), _CONTINUE, jnp.int32),
-                tree.root_state,
+            node, action, code, state = self._descend(
+                tree, best_a, best_child, batch, n
             )
-            node, action, code, state = jax.lax.while_loop(cond, body, init)
 
             # CREATE the selected child at each game's free cursor.
             new = code == _NEW
@@ -930,24 +939,7 @@ class MCTS:
 
             # BACKUP along the parent chain (root leaf loops zero times).
             leaf_value = jnp.where(leaf_terminal, leaf_reward, -values)
-
-            def bcond(c):
-                return jnp.any(c[0] > 0)
-
-            def bbody(c):
-                bnode, bvalue, visits, value_sum = c
-                active = bnode > 0
-                oh = _onehot(bnode, n) * active[:, None].astype(jnp.float32)
-                visits = visits + oh
-                value_sum = value_sum + oh * bvalue[:, None]
-                parent = read_node(tree.parent, bnode).astype(jnp.int32)
-                bnode = jnp.where(active, parent, bnode)
-                return bnode, -bvalue, visits, value_sum
-
-            _, _, visits, value_sum = jax.lax.while_loop(
-                bcond, bbody, (leaf, leaf_value, tree.visits, tree.value_sum)
-            )
-            tree = tree.replace(visits=visits, value_sum=value_sum)
+            tree = self._backup(tree, leaf, leaf_value, n)
             return tree, free, rng
 
         tree, free, _ = jax.lax.fori_loop(

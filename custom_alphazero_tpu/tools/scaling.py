@@ -136,10 +136,11 @@ def main(argv=None):
     args = dict(
         per_device_games=256, sims=32, plies=8, devices=len(jax.devices())
     )
+    usage = "usage: scaling " + " ".join(f"[--{k}=N]" for k in args)
     for arg in (argv if argv is not None else sys.argv[1:]):
-        key, _, value = arg.lstrip("-").partition("=")
-        if key not in args:
-            raise SystemExit(f"unknown flag {arg!r}")
+        key, eq, value = arg.lstrip("-").partition("=")
+        if key not in args or not eq or not value.isdigit():
+            raise SystemExit(f"bad flag {arg!r} (--key=int only)\n{usage}")
         args[key] = int(value)
 
     devices = jax.devices()

@@ -49,7 +49,7 @@ def search_position(moves, sims, m=4, seed=0):
     gm = GumbelMCTS(ENV, MCTSConfig(
         simulations=sims, gumbel_max_considered=m))
     run = jax.jit(
-        lambda rs, k: gm.search(rs, uniform_eval_batch, k, sims)
+        lambda rs, k: gm.search_select(rs, uniform_eval_batch, k, sims)
     )
     tree, action, pi = run(roots, jax.random.PRNGKey(seed))
     return gm, tree, int(np.asarray(action)[0]), np.asarray(pi)[0]
