@@ -86,14 +86,20 @@ def make_selfplay_fn(
     assert not (gumbel and (reuse or fused)), (
         "gumbel search uses fresh full-width trees"
     )
-    if reuse and mcts_cfg.topk_actions > 0:
-        # Reuse trees are full-width; an explicit top-K request would be
-        # silently ignored (and full-width chess trees are ~30x larger than
-        # the compressed ones the knob was set for) — refuse loudly.
-        raise ValueError(
-            "mcts.reuse_tree requires full-width priors; unset "
-            "mcts.topk_actions (compression and reuse are exclusive)"
-        )
+    if reuse and mcts_cfg.topk_actions != -1:
+        # Reuse trees are full-width. If this config would otherwise have
+        # compressed priors (explicit top-K, or auto mode on a large action
+        # space), refuse loudly rather than silently allocating ~30x the
+        # expected memory; require topk_actions=-1 as the acknowledgement.
+        would_compress = MCTS(env, mcts_cfg).prior_width(
+            mcts_cfg.simulations
+        ) < env.num_actions
+        if would_compress:
+            raise ValueError(
+                "mcts.reuse_tree uses full-width priors but this config "
+                "would compress (topk/auto on a large action space); set "
+                "mcts.topk_actions=-1 to acknowledge the memory cost"
+            )
     if gumbel:
         from custom_alphazero_tpu.search.gumbel import GumbelMCTS
 
