@@ -222,6 +222,8 @@ def test_cli_book_flag():
         text=True,
         timeout=120,
     ).stdout
-    lines = out.strip().split("\n")
-    assert int(lines[0].split(" ")[1]) == 1   # empty board via book
-    assert int(lines[1].split(" ")[1]) == 18
+    lines = out.splitlines()
+    # Line format is "%s %d %llu %lld" — the position field of the empty
+    # board is empty, so index from the right.
+    assert int(lines[0].split(" ")[-3]) == 1   # empty board via book
+    assert int(lines[1].split(" ")[-3]) == 18
