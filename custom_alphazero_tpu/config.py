@@ -186,6 +186,12 @@ class RunConfig:
     results_dir: str = "results"
     run_id: str = ""  # empty = timestamp at startup
     seed: int = 0
+    # Stall watchdog: if no generation completes for this many minutes the
+    # process exits with status 42 so a supervisor can restart it (training
+    # checkpoint-resumes, io/checkpoint.py). Guards against wedged device
+    # tunnels/host hangs — a failure mode the reference has no answer to
+    # (SURVEY.md §5 failure detection). 0 disables.
+    watchdog_minutes: float = 0.0
 
 
 @dataclass(frozen=True)

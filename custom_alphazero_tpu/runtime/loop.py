@@ -230,6 +230,17 @@ def run(cfg: Config, generations: Optional[int] = None) -> dict:
     pending_save = None
     best_updated = False
 
+    heartbeat = None
+    if cfg.run.watchdog_minutes > 0:
+        from custom_alphazero_tpu.runtime.watchdog import (
+            Heartbeat,
+            start_watchdog,
+        )
+
+        heartbeat = Heartbeat(cfg.run.watchdog_minutes * 60.0)
+        start_watchdog(heartbeat)
+        print(f"Stall watchdog armed: {cfg.run.watchdog_minutes:g} min")
+
     print(f"Starting run {run_id} on {jax.devices()}")
     while total == 0 or generation < total:
         gen_start = time.time()
@@ -239,6 +250,8 @@ def run(cfg: Config, generations: Optional[int] = None) -> dict:
         valid_host = jax.device_get(batch.valid)
         samples = int(valid_host.sum())
         gen_time = time.time() - gen_start
+        if heartbeat is not None:
+            heartbeat.beat()
 
         freq = cfg.loop.samples_checkpoint_frequency
         if freq and (generation + 1) % freq == 0:
@@ -287,6 +300,8 @@ def run(cfg: Config, generations: Optional[int] = None) -> dict:
                 obs_b, pi_b, z_b = learner.replay_sample(replay, k_batch)
                 train_state, m = learner.train_step(train_state, obs_b, pi_b, z_b)
                 iteration = int(m.steps)
+                if heartbeat is not None:
+                    heartbeat.beat()
                 summary["iterations"] = iteration
                 metrics.scalars(
                     {

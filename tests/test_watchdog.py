@@ -1,0 +1,90 @@
+"""Stall watchdog (runtime/watchdog.py): heartbeat logic with an injected
+clock, thread trigger behavior, and loop integration plumbing."""
+
+import threading
+import time
+
+from custom_alphazero_tpu.runtime.watchdog import (
+    Heartbeat,
+    STALL_EXIT_CODE,
+    start_watchdog,
+)
+
+
+class FakeClock:
+    def __init__(self):
+        self.t = 100.0
+
+    def __call__(self):
+        return self.t
+
+
+def test_heartbeat_stall_detection():
+    clock = FakeClock()
+    hb = Heartbeat(timeout_s=30.0, clock=clock)
+    assert not hb.stalled()
+    clock.t += 29.0
+    assert not hb.stalled()
+    clock.t += 2.0
+    assert hb.stalled()
+    hb.beat()
+    assert not hb.stalled() and hb.age() == 0.0
+
+
+def test_watchdog_thread_fires_on_stall_only():
+    clock = FakeClock()
+    hb = Heartbeat(timeout_s=0.2, clock=clock)
+    fired = threading.Event()
+    start_watchdog(hb, poll_s=0.02, on_stall=fired.set)
+    # Keep beating: no fire.
+    for _ in range(5):
+        hb.beat()
+        time.sleep(0.03)
+    assert not fired.is_set()
+    # Stop beating and advance the fake clock past the timeout.
+    clock.t += 1.0
+    assert fired.wait(timeout=2.0)
+
+
+def test_exit_code_is_nonzero_and_distinct():
+    assert STALL_EXIT_CODE == 42
+
+
+def test_loop_arms_watchdog(monkeypatch):
+    """run() arms the watchdog when run.watchdog_minutes > 0 and the
+    heartbeat keeps beating through generations (no stall exit)."""
+    import jax
+
+    from custom_alphazero_tpu.config import Config, apply_overrides
+    from custom_alphazero_tpu.runtime import loop as L
+
+    beats = []
+
+    class SpyHeartbeat(Heartbeat):
+        def beat(self):
+            beats.append(time.monotonic())
+            super().beat()
+
+    import custom_alphazero_tpu.runtime.watchdog as wd
+
+    monkeypatch.setattr(wd, "Heartbeat", SpyHeartbeat)
+    cfg = apply_overrides(Config(), {
+        "connect_n.width": "4", "connect_n.height": "4", "connect_n.n": "3",
+        "mcts.simulations": "4",
+        "self_play.games_per_generation": "4",
+        "model.depth": "1", "model.filters": "4", "model.value_hidden": "8",
+        "model.batch_size": "8",
+        "replay.capacity": "512", "replay.min_size": "8",
+        "loop.train_iterations_per_generation": "2",
+        "loop.generations": "2", "loop.samples_checkpoint_frequency": "0",
+        "arena.evaluation_frequency": "0", "arena.checkpoint_frequency": "0",
+        "run.watchdog_minutes": "10",
+    })
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        cfg = apply_overrides(cfg, {"run.results_dir": tmp,
+                                    "run.run_id": "wd-test"})
+        summary = L.run(cfg)
+    assert summary["iterations"] >= 2
+    assert len(beats) >= 2  # generation + train-iteration beats
