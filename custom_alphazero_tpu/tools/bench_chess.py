@@ -67,7 +67,10 @@ def measure(batch_size: int, use_net: bool = True):
 
 
 if __name__ == "__main__":
-    for b in (64, 256, 1024):
+    import sys
+
+    sizes = [int(a) for a in sys.argv[1:] if a.isdigit()] or [64, 256, 1024]
+    for b in sizes:
         measure(b, use_net=True)
-    for b in (256, 1024):
+    for b in sizes[-2:]:
         measure(b, use_net=False)
