@@ -231,6 +231,7 @@ def run(cfg: Config, generations: Optional[int] = None) -> dict:
     best_updated = False
 
     heartbeat = None
+    watchdog = None
     if cfg.run.watchdog_minutes > 0:
         from custom_alphazero_tpu.runtime.watchdog import (
             Heartbeat,
@@ -238,8 +239,18 @@ def run(cfg: Config, generations: Optional[int] = None) -> dict:
         )
 
         heartbeat = Heartbeat(cfg.run.watchdog_minutes * 60.0)
-        start_watchdog(heartbeat)
-        print(f"Stall watchdog armed: {cfg.run.watchdog_minutes:g} min")
+        # Armed only after the first generation completes: generation 0
+        # includes the self-play program's trace+compile (minutes at chess
+        # scale), which must not count against a steady-state timeout.
+        # Size the timeout to cover the longest single phase that can
+        # still occur later — notably the FIRST arena evaluation, which
+        # compiles too.
+
+    def _armed():
+        nonlocal watchdog
+        if heartbeat is not None and watchdog is None:
+            watchdog = start_watchdog(heartbeat)
+            print(f"Stall watchdog armed: {cfg.run.watchdog_minutes:g} min")
 
     print(f"Starting run {run_id} on {jax.devices()}")
     while total == 0 or generation < total:
@@ -252,6 +263,7 @@ def run(cfg: Config, generations: Optional[int] = None) -> dict:
         gen_time = time.time() - gen_start
         if heartbeat is not None:
             heartbeat.beat()
+            _armed()
 
         freq = cfg.loop.samples_checkpoint_frequency
         if freq and (generation + 1) % freq == 0:
@@ -276,6 +288,8 @@ def run(cfg: Config, generations: Optional[int] = None) -> dict:
                             results_dir, game, run_id,
                             updated=best_updated)
             best_updated = False
+            if heartbeat is not None:
+                heartbeat.beat()
         sims = int(stats.plies) * cfg.mcts.simulations
         print(
             f"[gen {generation}] {samples} samples from "
@@ -375,7 +389,11 @@ def run(cfg: Config, generations: Optional[int] = None) -> dict:
                         winner_state,
                         float(learner.schedule(train_state.steps)),
                     )
+                    if heartbeat is not None:
+                        heartbeat.beat()
         generation += 1
+    if watchdog is not None:
+        watchdog.disarm()
     if pending_save is not None:
         pending_save.join()
     metrics.close()

@@ -86,20 +86,6 @@ def make_selfplay_fn(
     assert not (gumbel and (reuse or fused)), (
         "gumbel search uses fresh full-width trees"
     )
-    if reuse and mcts_cfg.topk_actions != -1:
-        # Reuse trees are full-width. If this config would otherwise have
-        # compressed priors (explicit top-K, or auto mode on a large action
-        # space), refuse loudly rather than silently allocating ~30x the
-        # expected memory; require topk_actions=-1 as the acknowledgement.
-        would_compress = MCTS(env, mcts_cfg).prior_width(
-            mcts_cfg.simulations
-        ) < env.num_actions
-        if would_compress:
-            raise ValueError(
-                "mcts.reuse_tree uses full-width priors but this config "
-                "would compress (topk/auto on a large action space); set "
-                "mcts.topk_actions=-1 to acknowledge the memory cost"
-            )
     if gumbel:
         from custom_alphazero_tpu.search.gumbel import GumbelMCTS
 
@@ -108,6 +94,17 @@ def make_selfplay_fn(
         fused_mcts_v2.FusedConnectNSearchV2(env, mcts_cfg) if fused else None
     )
     mcts = MCTS(env, mcts_cfg)
+    if reuse and mcts_cfg.topk_actions != -1:
+        # Reuse trees are full-width. If this config would otherwise have
+        # compressed priors (explicit top-K, or auto mode on a large action
+        # space), refuse loudly rather than silently allocating ~30x the
+        # expected memory; require topk_actions=-1 as the acknowledgement.
+        if mcts.prior_width(mcts_cfg.simulations) < env.num_actions:
+            raise ValueError(
+                "mcts.reuse_tree uses full-width priors but this config "
+                "would compress (topk/auto on a large action space); set "
+                "mcts.topk_actions=-1 to acknowledge the memory cost"
+            )
     num_actions = env.num_actions
     # Subtree reuse (reference mcts.py:207): capacity for carried + fresh
     # nodes; the kept subtree is truncated to keep_cap so a search's new

@@ -48,31 +48,51 @@ class Heartbeat:
         return self.age() > self.timeout_s
 
 
-def start_watchdog(
-    heartbeat: Heartbeat,
-    poll_s: float = 15.0,
-    on_stall: Optional[Callable[[], None]] = None,
-) -> threading.Thread:
-    """Start a daemon thread that exits the process when the heartbeat
-    stalls. ``on_stall`` (tests) replaces the default exit action."""
+class Watchdog:
+    """Daemon thread that exits the process when the heartbeat stalls.
 
-    def action():
+    Callers MUST ``disarm()`` when the supervised phase ends (run() does
+    so in a finally) — otherwise the thread outlives the training loop
+    and kills a perfectly healthy process once beats stop arriving.
+    ``on_stall`` (tests) replaces the default exit action.
+    """
+
+    def __init__(self, heartbeat: Heartbeat, poll_s: float = 15.0,
+                 on_stall: Optional[Callable[[], None]] = None):
+        self.heartbeat = heartbeat
+        self.poll_s = poll_s
+        self.on_stall = on_stall
+        self._disarmed = threading.Event()
+        self.thread = threading.Thread(
+            target=self._run, name="stall-watchdog", daemon=True
+        )
+        self.thread.start()
+
+    def disarm(self) -> None:
+        self._disarmed.set()
+
+    def _action(self):
         print(
-            f"[watchdog] no progress for {heartbeat.age():.0f}s "
-            f"(limit {heartbeat.timeout_s:.0f}s); exiting "
+            f"[watchdog] no progress for {self.heartbeat.age():.0f}s "
+            f"(limit {self.heartbeat.timeout_s:.0f}s); exiting "
             f"{STALL_EXIT_CODE} for supervisor restart",
             file=sys.stderr,
             flush=True,
         )
         os._exit(STALL_EXIT_CODE)
 
-    def run():
-        while True:
-            time.sleep(poll_s)
-            if heartbeat.stalled():
-                (on_stall or action)()
+    def _run(self):
+        while not self._disarmed.wait(self.poll_s):
+            if self.heartbeat.stalled():
+                if self._disarmed.is_set():
+                    return
+                (self.on_stall or self._action)()
                 return
 
-    thread = threading.Thread(target=run, name="stall-watchdog", daemon=True)
-    thread.start()
-    return thread
+
+def start_watchdog(
+    heartbeat: Heartbeat,
+    poll_s: float = 15.0,
+    on_stall: Optional[Callable[[], None]] = None,
+) -> Watchdog:
+    return Watchdog(heartbeat, poll_s, on_stall)

@@ -69,7 +69,15 @@ def measure(batch_size: int, use_net: bool = True):
 if __name__ == "__main__":
     import sys
 
-    sizes = [int(a) for a in sys.argv[1:] if a.isdigit()] or [64, 256, 1024]
+    sizes = []
+    for a in sys.argv[1:]:
+        if not a.isdigit() or int(a) < 1:
+            raise SystemExit(
+                f"bad batch size {a!r}\nusage: bench_chess [B1 B2 ...] "
+                "(positive ints; default 64 256 1024)"
+            )
+        sizes.append(int(a))
+    sizes = sizes or [64, 256, 1024]
     for b in sizes:
         measure(b, use_net=True)
     for b in sizes[-2:]:

@@ -181,6 +181,24 @@ def main(argv=None):
     steps = int(args.get("--steps", 3000))
     t0 = time.time()
     solver = sv.ConnectFourSolver()
+    if "--labels_out" in args:
+        # Write a labeled evaluation set (the eval_labels.npz generator;
+        # consumed by tools/strength.labeled_policy_accuracy and
+        # final_eval --labels). min_ply >= 10 keeps solves sub-second —
+        # near-empty positions take minutes each without a deep book.
+        data = labeled_dataset(
+            n,
+            seed=int(args.get("--seed", 1000)),
+            min_ply=int(args.get("--min_ply", 10)),
+            max_ply=int(args.get("--max_ply", 34)),
+            solver=solver,
+        )
+        np.savez_compressed(args["--labels_out"], **data)
+        print(
+            f"Wrote {len(data['obs'])} labeled positions to "
+            f"{args['--labels_out']} in {time.time() - t0:.0f}s"
+        )
+        return
     data = labeled_dataset(n + n // 5, seed=0, solver=solver)
     print(f"Labeled {len(data['obs'])} positions in {time.time() - t0:.0f}s")
     train_set = {k: v[:n] for k, v in data.items()}

@@ -36,14 +36,29 @@ def test_watchdog_thread_fires_on_stall_only():
     hb = Heartbeat(timeout_s=0.2, clock=clock)
     fired = threading.Event()
     start_watchdog(hb, poll_s=0.02, on_stall=fired.set)
-    # Keep beating: no fire.
+    # Keep beating while the (fake) clock advances: no fire. Each step
+    # moves the clock most of the way to the timeout, so skipping a beat
+    # here WOULD trip the watchdog.
     for _ in range(5):
+        clock.t += 0.15
         hb.beat()
-        time.sleep(0.03)
+        time.sleep(0.05)
     assert not fired.is_set()
     # Stop beating and advance the fake clock past the timeout.
     clock.t += 1.0
     assert fired.wait(timeout=2.0)
+
+
+def test_watchdog_disarm_prevents_late_fire():
+    """run() disarms on return; a disarmed watchdog must never fire even
+    when beats stop — the leaked-daemon-kills-healthy-process case."""
+    clock = FakeClock()
+    hb = Heartbeat(timeout_s=0.1, clock=clock)
+    fired = threading.Event()
+    wd = start_watchdog(hb, poll_s=0.02, on_stall=fired.set)
+    wd.disarm()
+    clock.t += 100.0  # far past the timeout, no beats
+    assert not fired.wait(timeout=0.3)
 
 
 def test_exit_code_is_nonzero_and_distinct():
