@@ -134,6 +134,9 @@ class ReplayConfig:
 
     capacity: int = 10_000
     min_size: int = 2_500
+    # Bit-pack binary observation planes in the device ring (replay/codec.py,
+    # exact roundtrip, ~32x less HBM — keeps chess-scale rings on device).
+    compress_obs: bool = True
 
 
 @dataclass(frozen=True)
@@ -228,6 +231,32 @@ def _coerce(value: str, target: Any) -> Any:
     return value
 
 
+def validate(config: Config) -> Config:
+    """Reject foot-gun configs at parse time rather than letting programs
+    silently adjust (returns the config for chaining)."""
+    m = config.model
+    if len(m.lr_values) != len(m.lr_boundaries) + 1:
+        raise ValueError(
+            f"model.lr_values needs exactly len(lr_boundaries)+1 entries: "
+            f"got {len(m.lr_values)} values for {len(m.lr_boundaries)} "
+            "boundaries"
+        )
+    if any(b2 <= b1 for b1, b2 in zip(m.lr_boundaries, m.lr_boundaries[1:])):
+        raise ValueError(
+            f"model.lr_boundaries must be strictly increasing: {m.lr_boundaries}"
+        )
+    s = config.mcts
+    if s.max_nodes and s.max_nodes < s.simulations:
+        # Non-reuse search would silently take max(max_nodes, simulations)
+        # (search/mcts.py static slots); make the conflict explicit.
+        raise ValueError(
+            f"mcts.max_nodes={s.max_nodes} < mcts.simulations="
+            f"{s.simulations}: the tree needs one slot per simulation "
+            "(set max_nodes=0 for auto)"
+        )
+    return config
+
+
 def apply_overrides(config: Config, overrides: dict[str, str]) -> Config:
     """Apply {"mcts.simulations": "64", ...} dotted-key overrides."""
     for dotted, raw in overrides.items():
@@ -243,7 +272,7 @@ def apply_overrides(config: Config, overrides: dict[str, str]) -> Config:
         for obj, key in zip(reversed(objs[:-1]), reversed(keys[:-1])):
             updated = dataclasses.replace(obj, **{key: updated})
         config = updated
-    return config
+    return validate(config)
 
 
 def parse_cli_overrides(argv: list[str]) -> dict[str, str]:

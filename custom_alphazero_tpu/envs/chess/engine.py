@@ -551,6 +551,9 @@ class Chess(core.Env):
         self.cfg = cfg
         self.num_actions = A
         self.obs_shape = (8, 8, OBS_CHANNELS)
+        # Replay bit-packing (replay/codec.py): every observe() channel is
+        # binary except the two constant clock planes at the end.
+        self.obs_scalar_channels = (OBS_CHANNELS - 2, OBS_CHANNELS - 1)
 
     # -- construction ------------------------------------------------------
 

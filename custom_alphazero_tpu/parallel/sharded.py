@@ -1,0 +1,311 @@
+"""Explicitly-sharded phase programs for multi-device / multi-host runs.
+
+The production loop's three phases — lockstep self-play generation, the
+replay ring, and the arena — run here under ``shard_map`` over the mesh's
+``data`` axis so every device (and every host's devices, on a pod slice)
+owns its shard of games and replay rows. This is the TPU-native replacement
+for the reference's *entire* distribution story: one game per CPU process
+via joblib (/root/reference/custom_alphazero/self_play.py:98-110), a
+JSON-over-HTTP sample queue (serving/api/queue.py) and filesystem model
+exchange — all of it becomes mesh-axis sharding plus two psums.
+
+Design notes:
+
+- shard_map (not bare GSPMD constraints) because the self-play hot path can
+  be the fused Pallas search kernel (ops/fused_mcts_v2.py), and a Pallas
+  call partitions correctly only under manual sharding; GSPMD would
+  replicate it. Per-game programs have no cross-game communication, so each
+  shard runs the *identical* single-device program on its slice: per-device
+  work divides exactly (the >80% weak-scaling design target, BASELINE.md).
+- the ``model`` axis (tensor parallelism) applies to the *train step* via
+  GSPMD parameter shardings (parallel/mesh.py shard_params); inside these
+  data-only shard_maps params arrive replicated (jit inserts the gather),
+  which is the right trade for a small conv net whose self-play forward is
+  latency-bound.
+- the replay becomes per-shard rings: each data shard appends the samples
+  its own games produced and serves its slice of every training batch
+  (host-sharded rings, SURVEY.md §7.5). Batch sampling is therefore
+  stratified-by-shard rather than globally uniform — same marginal
+  distribution when shards fill at the same rate (they do: lockstep
+  self-play writes identical row counts per shard).
+- cross-shard reductions (self-play stats, arena tallies) are the only
+  collectives, one tiny psum each; they ride ICI.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+try:  # jax >= 0.7 top-level API; the experimental alias is deprecated
+    from jax import shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from custom_alphazero_tpu.replay.buffer import (
+    ReplayState,
+    replay_add,
+    replay_init,
+    replay_sample,
+)
+from custom_alphazero_tpu.runtime.arena import ArenaGameLog, ArenaResult
+from custom_alphazero_tpu.runtime.selfplay import SelfPlayStats
+
+
+def data_parallelism(mesh: Mesh, data_axis: str = "data") -> int:
+    return mesh.shape[data_axis]
+
+
+# ---------------------------------------------------------------------------
+# Self-play generation
+# ---------------------------------------------------------------------------
+
+def make_sharded_generate(
+    selfplay: Callable,
+    evaluate: Callable,
+    mesh: Mesh,
+    games_per_generation: int,
+    data_axis: str = "data",
+) -> Callable:
+    """Wrap a make_selfplay_fn program so each data shard plays its own
+    games. Returns generate(params, batch_stats, rng) -> (batch, stats)
+    where the batch's rows are sharded over `data` (shard-contiguous: each
+    shard's (T*B_local) rows are adjacent, so the sharded replay_add below
+    appends every shard's own samples) and stats are replicated scalars.
+    Callers jit the result."""
+    dp = data_parallelism(mesh, data_axis)
+    if games_per_generation % dp:
+        raise ValueError(
+            f"games_per_generation={games_per_generation} not divisible by "
+            f"data axis size {dp}"
+        )
+    local_games = games_per_generation // dp
+
+    def local_generate(params, batch_stats, keys):
+        batch, stats = selfplay(
+            lambda obs: evaluate(params, batch_stats, obs),
+            keys[0],
+            local_games,
+        )
+        # Aggregate per-shard stats into replicated scalars: sums psum
+        # directly; the mean game length re-weights by each shard's games.
+        games = jax.lax.psum(stats.games, data_axis)
+        total_len = jax.lax.psum(
+            stats.mean_game_length * stats.games.astype(jnp.float32),
+            data_axis,
+        )
+        stats = SelfPlayStats(
+            games=games,
+            plies=jax.lax.psum(stats.plies, data_axis),
+            wins_first_mover=jax.lax.psum(stats.wins_first_mover, data_axis),
+            wins_second_mover=jax.lax.psum(stats.wins_second_mover, data_axis),
+            draws=jax.lax.psum(stats.draws, data_axis),
+            mean_game_length=total_len
+            / jnp.maximum(games, 1).astype(jnp.float32),
+        )
+        return batch, stats
+
+    sharded = shard_map(
+        local_generate,
+        mesh=mesh,
+        in_specs=(P(), P(), P(data_axis)),
+        out_specs=(P(data_axis), P()),
+        check_vma=False,
+    )
+
+    def generate(params, batch_stats, rng):
+        return sharded(params, batch_stats, jax.random.split(rng, dp))
+
+    return generate
+
+
+# ---------------------------------------------------------------------------
+# Replay: per-shard rings
+# ---------------------------------------------------------------------------
+
+def sharded_replay_init(
+    capacity: int, obs_shape, num_actions: int, mesh: Mesh,
+    data_axis: str = "data", codec=None,
+) -> ReplayState:
+    """A replay ring sharded over `data`: rows split across shards, with
+    per-shard head/size cursors (shape (dp,)). Total capacity stays
+    `capacity`; each shard owns capacity/dp rows. `codec`: bit-packed obs
+    storage (replay/codec.py)."""
+    dp = data_parallelism(mesh, data_axis)
+    if capacity % dp:
+        raise ValueError(f"replay capacity {capacity} not divisible by {dp}")
+    state = replay_init(capacity, obs_shape, num_actions, codec)
+    state = state.replace(
+        head=jnp.zeros((dp,), jnp.int32),
+        size=jnp.zeros((dp,), jnp.int32),
+    )
+    sharding = NamedSharding(mesh, P(data_axis))
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), state)
+
+
+def replay_total_size(state: ReplayState) -> jnp.ndarray:
+    """Global filled-row count (works for scalar and per-shard cursors)."""
+    return state.size.sum()
+
+
+def replay_min_shard_size(state: ReplayState) -> jnp.ndarray:
+    return state.size.min()
+
+
+def make_sharded_replay_ops(
+    mesh: Mesh,
+    train_batch_size: int,
+    data_axis: str = "data",
+    codec=None,
+):
+    """(add, sample) over per-shard rings. `add` appends each shard's rows
+    of a generation batch to that shard's ring (single-device FIFO
+    semantics per shard, replay/buffer.py); `sample` draws
+    train_batch_size/dp rows uniformly without replacement from each shard,
+    yielding a global batch sharded over `data` — ready for the
+    data-parallel train step (GSPMD inserts the gradient psum)."""
+    dp = data_parallelism(mesh, data_axis)
+    if train_batch_size % dp:
+        raise ValueError(
+            f"batch_size={train_batch_size} not divisible by data axis {dp}"
+        )
+    local_batch = train_batch_size // dp
+
+    def local_view(state: ReplayState) -> ReplayState:
+        return state.replace(head=state.head[0], size=state.size[0])
+
+    def local_add(state, batch):
+        new = replay_add(local_view(state), batch, codec)
+        return new.replace(head=new.head[None], size=new.size[None])
+
+    add = shard_map(
+        local_add,
+        mesh=mesh,
+        in_specs=(P(data_axis), P(data_axis)),
+        out_specs=P(data_axis),
+        check_vma=False,
+    )
+
+    def local_sample(state, keys):
+        return replay_sample(local_view(state), keys[0], local_batch, codec)
+
+    sharded_sample = shard_map(
+        local_sample,
+        mesh=mesh,
+        in_specs=(P(data_axis), P(data_axis)),
+        out_specs=P(data_axis),
+        check_vma=False,
+    )
+
+    def sample(state, rng):
+        return sharded_sample(state, jax.random.split(rng, dp))
+
+    return add, sample
+
+
+# ---------------------------------------------------------------------------
+# Arena
+# ---------------------------------------------------------------------------
+
+def make_sharded_arena(
+    arena: Callable,
+    evaluate: Callable,
+    mesh: Mesh,
+    num_games: int,
+    promote_threshold: float,
+    data_axis: str = "data",
+) -> Callable:
+    """Each data shard plays its slice of the candidate-vs-incumbent games;
+    win/loss/draw tallies psum into a replicated score and promotion
+    verdict (reference evaluate.py:117-131 semantics over the global game
+    set). The per-shard game count must be even so starters alternate
+    evenly (evaluate.py:39)."""
+    dp = data_parallelism(mesh, data_axis)
+    if num_games % dp or (num_games // dp) % 2:
+        raise ValueError(
+            f"arena games {num_games} must split into even per-shard counts "
+            f"over {dp} shards"
+        )
+    local_games = num_games // dp
+
+    def local_arena(cand_params, cand_stats, best_params, best_stats, keys):
+        res = arena(
+            lambda obs: evaluate(cand_params, cand_stats, obs),
+            lambda obs: evaluate(best_params, best_stats, obs),
+            keys[0],
+            local_games,
+        )
+        wins = jax.lax.psum(res.wins, data_axis)
+        losses = jax.lax.psum(res.losses, data_axis)
+        draws = jax.lax.psum(res.draws, data_axis)
+        decisive = wins + losses
+        score = jnp.where(
+            decisive > 0,
+            wins.astype(jnp.float32)
+            / jnp.maximum(decisive, 1).astype(jnp.float32),
+            0.5,
+        ).astype(jnp.float32)
+        return ArenaResult(
+            score=score,
+            promote=score >= promote_threshold,
+            wins=wins,
+            losses=losses,
+            draws=draws,
+            per_game=res.per_game,
+            log=res.log,
+        )
+
+    out_specs = ArenaResult(
+        score=P(),
+        promote=P(),
+        wins=P(),
+        losses=P(),
+        draws=P(),
+        per_game=P(data_axis),
+        log=ArenaGameLog(
+            actions=P(None, data_axis),
+            movers=P(None, data_axis),
+            active=P(None, data_axis),
+        ),
+    )
+    sharded = shard_map(
+        local_arena,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(data_axis)),
+        out_specs=out_specs,
+        check_vma=False,
+    )
+
+    def run(cand_params, cand_stats, best_params, best_stats, rng):
+        return sharded(
+            cand_params, cand_stats, best_params, best_stats,
+            jax.random.split(rng, dp),
+        )
+
+    return run
+
+
+# ---------------------------------------------------------------------------
+# Host-side helpers for multi-process (multi-host) runs
+# ---------------------------------------------------------------------------
+
+def fetch(tree):
+    """Device->host fetch that works for sharded arrays under multi-process
+    execution: single-process arrays are fully addressable and device_get
+    directly; across processes, reshard to fully-replicated first (an
+    all-gather over ICI/DCN) so every host holds complete copies. Handles
+    trees mixing replicated and sharded leaves (unlike process_allgather,
+    which would stack replicated leaves once per process)."""
+    if jax.process_count() == 1:
+        return jax.device_get(tree)
+    import numpy as np
+
+    mesh = Mesh(np.asarray(jax.devices()), ("all",))
+    replicate = NamedSharding(mesh, P())
+    gathered = jax.jit(
+        lambda t: t,
+        out_shardings=jax.tree.map(lambda _: replicate, tree),
+    )(tree)
+    return jax.device_get(gathered)

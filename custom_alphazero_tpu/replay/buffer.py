@@ -8,31 +8,48 @@ memory (shardable over the data mesh axis). Semantics preserved:
 - bounded FIFO of capacity `capacity` (oldest samples evicted first),
 - training waits for `min_size` samples (warmup),
 - uniform batch sampling *without replacement* (reference train.py:60-69).
+
+Observations can be stored bit-packed (replay/codec.py, ~32x less HBM —
+required for chess-scale rings to stay device-resident): pass the env's
+``BitplaneCodec`` to init/add/sample and the ring holds uint32 words that
+are encoded at append and decoded at sample time, both on device.
 """
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 from flax import struct
 
+from custom_alphazero_tpu.replay.codec import BitplaneCodec
 from custom_alphazero_tpu.runtime.selfplay import SelfPlayBatch
 
 
 @struct.dataclass
 class ReplayState:
-    obs: jnp.ndarray     # (C, H, W, ch)
+    obs: jnp.ndarray     # (C, H, W, ch) float32, or PackedObs when a codec
+    #     is in use (words (C, n_words) uint32 + scalars (C, n_scalars))
     policy: jnp.ndarray  # (C, A)
     value: jnp.ndarray   # (C,)
     head: jnp.ndarray    # () next write slot
     size: jnp.ndarray    # () filled entries, <= C
 
 
-def replay_init(capacity: int, obs_shape, num_actions: int) -> ReplayState:
+def replay_init(
+    capacity: int,
+    obs_shape,
+    num_actions: int,
+    codec: Optional[BitplaneCodec] = None,
+) -> ReplayState:
+    obs = (
+        codec.packed_zeros((capacity,))
+        if codec is not None
+        else jnp.zeros((capacity,) + tuple(obs_shape), jnp.float32)
+    )
     return ReplayState(
-        obs=jnp.zeros((capacity,) + tuple(obs_shape), jnp.float32),
+        obs=obs,
         policy=jnp.zeros((capacity, num_actions), jnp.float32),
         value=jnp.zeros((capacity,), jnp.float32),
         head=jnp.int32(0),
@@ -40,7 +57,11 @@ def replay_init(capacity: int, obs_shape, num_actions: int) -> ReplayState:
     )
 
 
-def replay_add(state: ReplayState, batch: SelfPlayBatch) -> ReplayState:
+def replay_add(
+    state: ReplayState,
+    batch: SelfPlayBatch,
+    codec: Optional[BitplaneCodec] = None,
+) -> ReplayState:
     """Masked FIFO append: valid samples land at consecutive ring slots in
     order; invalid rows scatter out-of-bounds and are dropped by XLA.
 
@@ -48,7 +69,7 @@ def replay_add(state: ReplayState, batch: SelfPlayBatch) -> ReplayState:
     defaults: 256 games x 512 plies >> a 10k ring), only the NEWEST
     `capacity` are written — wrapped slots would otherwise duplicate, and
     XLA keeps an arbitrary duplicate, silently mixing old and new rows."""
-    capacity = state.obs.shape[0]
+    capacity = state.policy.shape[0]
     mask = batch.valid
     total = mask.sum().astype(jnp.int32)
     offsets = jnp.cumsum(mask.astype(jnp.int32)) - 1
@@ -57,8 +78,11 @@ def replay_add(state: ReplayState, batch: SelfPlayBatch) -> ReplayState:
     offsets = jnp.cumsum(mask.astype(jnp.int32)) - 1
     slots = jnp.where(mask, (state.head + offsets) % capacity, capacity)
     count = mask.sum().astype(jnp.int32)
+    obs_rows = codec.encode(batch.obs) if codec is not None else batch.obs
     return state.replace(
-        obs=state.obs.at[slots].set(batch.obs),
+        obs=jax.tree.map(
+            lambda store, rows: store.at[slots].set(rows), state.obs, obs_rows
+        ),
         policy=state.policy.at[slots].set(batch.policy),
         value=state.value.at[slots].set(batch.value),
         head=(state.head + count) % capacity,
@@ -67,13 +91,19 @@ def replay_add(state: ReplayState, batch: SelfPlayBatch) -> ReplayState:
 
 
 def replay_sample(
-    state: ReplayState, rng, batch_size: int
+    state: ReplayState,
+    rng,
+    batch_size: int,
+    codec: Optional[BitplaneCodec] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Uniform sample of `batch_size` entries without replacement
     (Gumbel-top-k over the filled region). Requires size >= batch_size —
     enforced by the warmup gate like the reference (train.py:59)."""
-    capacity = state.obs.shape[0]
+    capacity = state.policy.shape[0]
     scores = jax.random.uniform(rng, (capacity,))
     scores = jnp.where(jnp.arange(capacity) < state.size, scores, -jnp.inf)
     _, idx = jax.lax.top_k(scores, batch_size)
-    return state.obs[idx], state.policy[idx], state.value[idx]
+    obs = jax.tree.map(lambda a: a[idx], state.obs)
+    if codec is not None:
+        obs = codec.decode(obs)
+    return obs, state.policy[idx], state.value[idx]

@@ -4,8 +4,12 @@ Replaces the reference's 150 sequential head-to-head games
 (/root/reference/custom_alphazero/evaluation/evaluate.py:29-134) with one
 jitted lockstep batch. Semantics preserved:
 
-- the candidate makes the first move in even-indexed games, the incumbent in
-  odd-indexed games; models alternate every ply (evaluate.py:39,60-62);
+- half the games are candidate-first, half incumbent-first; models alternate
+  every ply (evaluate.py:39,60-62 — the reference alternates the starter by
+  game index; here starters are assigned by contiguous halves so that at any
+  ply every game in a half is acted by the SAME model, letting each model
+  forward only its own half-batch: 1x total network cost per ply instead of
+  evaluating both models on the full batch);
 - raw-policy mode: each move is sampled (or argmax'd when deterministic) from
   the acting model's legal-masked renormalized policy (evaluate.py:41-52);
 - MCTS mode: a fresh search per move with the acting model, greedy argmax
@@ -72,7 +76,16 @@ def make_arena_fn(
         num_games: int,
     ) -> ArenaResult:
         states = jax.vmap(lambda _: env.init())(jnp.arange(num_games))
-        starters = jnp.mod(jnp.arange(num_games), 2)  # 0: candidate first
+        half = num_games // 2
+        if num_games % 2 == 0:
+            # Candidate starts the first half of games. At ply t the
+            # candidate acts on half 0 when t is even, on half 1 when odd —
+            # so each model's forward covers exactly one contiguous
+            # half-batch (leaf batches align with the game batch in both
+            # modes: search evaluates one leaf per game per wave).
+            starters = (jnp.arange(num_games) >= half).astype(jnp.int32)
+        else:
+            starters = jnp.mod(jnp.arange(num_games), 2)  # 0: candidate first
 
         def ply_body(carry, t):
             states, rng = carry
@@ -82,14 +95,32 @@ def make_arena_fn(
             obs = jax.vmap(env.observe)(states)
             legal = jax.vmap(env.legal_mask)(states)
 
-            def mixed_evaluate(batch_obs):
+            def half_evaluate(batch_obs):
+                # swap: candidate acts on the second half this ply.
+                swap = jnp.mod(t, 2) == 1
+                a, b = batch_obs[:half], batch_obs[half:]
+                pc, vc = evaluate_candidate(jnp.where(swap, b, a))
+                pi_, vi_ = evaluate_incumbent(jnp.where(swap, a, b))
+                probs = jnp.concatenate(
+                    [jnp.where(swap, pi_, pc), jnp.where(swap, pc, pi_)]
+                )
+                value = jnp.concatenate(
+                    [jnp.where(swap, vi_, vc), jnp.where(swap, vc, vi_)]
+                )
+                return probs, value
+
+            def full_mixed_evaluate(batch_obs):
+                # Odd game counts only: both models forward the full batch.
                 pc, vc = evaluate_candidate(batch_obs)
                 pi_, vi_ = evaluate_incumbent(batch_obs)
-                # Leaf batches align with the game batch in both modes.
                 sel = movers == CANDIDATE
                 probs = jnp.where(sel[:, None], pc, pi_)
                 value = jnp.where(sel, vc, vi_)
                 return probs, value
+
+            mixed_evaluate = (
+                half_evaluate if num_games % 2 == 0 else full_mixed_evaluate
+            )
 
             if arena_cfg.evaluate_with_mcts:
                 tree = mcts.search(

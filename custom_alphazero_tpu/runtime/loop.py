@@ -48,12 +48,14 @@ from custom_alphazero_tpu.io.checkpoint import (
 from custom_alphazero_tpu.io.metrics import MetricsWriter
 from custom_alphazero_tpu.models.losses import learning_rate_schedule
 from custom_alphazero_tpu.models.policy_value import PolicyValueNet
+from custom_alphazero_tpu.parallel import distributed, sharded
 from custom_alphazero_tpu.parallel.mesh import make_mesh, shard_batch, shard_params
 from custom_alphazero_tpu.replay.buffer import (
     replay_add,
     replay_init,
     replay_sample,
 )
+from custom_alphazero_tpu.replay.codec import codec_for_env
 from custom_alphazero_tpu.runtime.arena import make_arena_fn
 from custom_alphazero_tpu.runtime.selfplay import make_selfplay_fn
 from custom_alphazero_tpu.runtime.train import (
@@ -79,51 +81,142 @@ def make_env(cfg: Config):
     raise ValueError(f"Unknown game {cfg.game!r}")
 
 
+def _auto_data_parallelism(cfg: Config, available: int) -> int:
+    """Largest data-axis size <= `available` that divides the workload:
+    games per generation, train batch, replay capacity, and (when the arena
+    runs) an even per-shard arena game count so starter halves stay balanced
+    (arena.py half-split). Explicit cfg.mesh.data_parallelism bypasses this
+    and lets the sharded builders raise on indivisible sizes."""
+    import math
+
+    dp = math.gcd(max(available, 1), cfg.self_play.games_per_generation)
+    dp = math.gcd(dp, cfg.model.batch_size)
+    dp = math.gcd(dp, cfg.replay.capacity)
+    if cfg.arena.evaluation_frequency:
+        g = cfg.arena.games
+        while dp > 1 and (g % dp or (g // dp) % 2):
+            dp //= 2
+    return max(dp, 1)
+
+
 @dataclass
 class Learner:
     """All jitted programs + mutable run state for one training run."""
 
     cfg: Config
+    devices: Any = None  # default: jax.devices()
     env: Any = field(init=False)
     net: PolicyValueNet = field(init=False)
 
     def __post_init__(self):
+        import dataclasses as _dc
+
         cfg = self.cfg
         self.env = make_env(cfg)
         self.net = PolicyValueNet(self.env.num_actions, cfg.model)
-        self.mesh = make_mesh(cfg.mesh)
+        devices = list(self.devices if self.devices is not None
+                       else jax.devices())
+        mesh_cfg = cfg.mesh
+        if not mesh_cfg.data_parallelism:  # 0 = auto (all devices that fit)
+            mp = max(mesh_cfg.model_parallelism, 1)
+            auto_dp = _auto_data_parallelism(cfg, len(devices) // mp)
+            mesh_cfg = _dc.replace(mesh_cfg, data_parallelism=auto_dp)
+            if auto_dp * mp < len(devices):
+                print(
+                    f"mesh: data axis clamped to {auto_dp} (of "
+                    f"{len(devices)} devices) to divide the workload; set "
+                    "mesh.data_parallelism or pick divisible sizes to use "
+                    "every device"
+                )
+        self.mesh = make_mesh(mesh_cfg, devices)
         self.evaluate = make_evaluate_fn(self.net)
         self.schedule = learning_rate_schedule(cfg.model)
         max_plies = max_game_plies(cfg)
 
-        selfplay = make_selfplay_fn(self.env, cfg.mcts, cfg.self_play, max_plies)
+        # Fused-kernel auto-selection keys off the MESH devices' platform,
+        # not jax.default_backend(): a CPU dryrun mesh can coexist with a
+        # visible TPU plugin.
+        platform = self.mesh.devices.flat[0].platform
+        selfplay = make_selfplay_fn(
+            self.env, cfg.mcts, cfg.self_play, max_plies,
+            fused=None if platform == "tpu" else False,
+        )
         batch_size = cfg.self_play.games_per_generation
-
-        def generate(params, batch_stats, rng):
-            return selfplay(
-                lambda obs: self.evaluate(params, batch_stats, obs),
-                rng,
-                batch_size,
-            )
-
-        self.generate = jax.jit(generate)
+        self.dp = self.mesh.shape[cfg.mesh.data_axis]
         self.train_step = jax.jit(make_train_step(self.net, cfg.model))
-        self.replay_add = jax.jit(replay_add)
-        self.replay_sample = jax.jit(
-            lambda r, k: replay_sample(r, k, cfg.model.batch_size)
+        self.codec = (
+            codec_for_env(self.env) if cfg.replay.compress_obs else None
         )
 
-        arena = make_arena_fn(self.env, cfg.arena, cfg.mcts, max_plies)
+        if self.dp > 1:
+            # Multi-device / multi-host: every phase runs shard_mapped over
+            # the data axis — per-device game shards in self-play and arena,
+            # per-shard replay rings (VERDICT round 1 #2; SURVEY §7.6).
+            self.generate = jax.jit(
+                sharded.make_sharded_generate(
+                    selfplay, self.evaluate, self.mesh, batch_size,
+                    cfg.mesh.data_axis,
+                )
+            )
+            add, sample = sharded.make_sharded_replay_ops(
+                self.mesh, cfg.model.batch_size, cfg.mesh.data_axis,
+                self.codec,
+            )
+            self.replay_add = jax.jit(add)
+            self.replay_sample = jax.jit(sample)
+            arena = make_arena_fn(self.env, cfg.arena, cfg.mcts, max_plies)
+            games = cfg.arena.games
+            if games % self.dp or (games // self.dp) % 2:
+                # Reachable only when the arena gate is disabled (auto dp
+                # clamping guarantees divisibility otherwise) or the user
+                # pinned an indivisible explicit data_parallelism.
+                if cfg.arena.evaluation_frequency:
+                    raise ValueError(
+                        f"arena games {games} do not shard over "
+                        f"data_parallelism={self.dp}: need an even "
+                        "per-shard game count"
+                    )
+                # Keep a replicated arena available for ad-hoc use.
+                self.run_arena = jax.jit(self._replicated_arena(arena, games))
+            else:
+                self.run_arena = jax.jit(
+                    sharded.make_sharded_arena(
+                        arena, self.evaluate, self.mesh, games,
+                        cfg.arena.promote_threshold, cfg.mesh.data_axis,
+                    )
+                )
+        else:
+            def generate(params, batch_stats, rng):
+                return selfplay(
+                    lambda obs: self.evaluate(params, batch_stats, obs),
+                    rng,
+                    batch_size,
+                )
 
+            self.generate = jax.jit(generate)
+            self.replay_add = jax.jit(
+                lambda r, b: replay_add(r, b, self.codec)
+            )
+            self.replay_sample = jax.jit(
+                lambda r, k: replay_sample(r, k, cfg.model.batch_size,
+                                           self.codec)
+            )
+
+            arena = make_arena_fn(self.env, cfg.arena, cfg.mcts, max_plies)
+            self.run_arena = jax.jit(
+                self._replicated_arena(arena, cfg.arena.games)
+            )
+
+    def _replicated_arena(self, arena, games):
         def run_arena(cand_params, cand_stats, best_params, best_stats, rng):
             return arena(
                 lambda obs: self.evaluate(cand_params, cand_stats, obs),
                 lambda obs: self.evaluate(best_params, best_stats, obs),
                 rng,
-                cfg.arena.games,
+                games,
             )
 
-        self.run_arena = jax.jit(run_arena)
+        return run_arena
 
     # -- state setup -------------------------------------------------------
 
@@ -133,10 +226,33 @@ class Learner:
         train_state = train_state.replace(
             params=shard_params(train_state.params, self.mesh, cfg.mesh)
         )
-        replay = replay_init(
-            cfg.replay.capacity, self.env.obs_shape, self.env.num_actions
-        )
+        replay = self.init_replay()
         return train_state, replay
+
+    def init_replay(self):
+        cfg = self.cfg
+        if self.dp > 1:
+            return sharded.sharded_replay_init(
+                cfg.replay.capacity, self.env.obs_shape,
+                self.env.num_actions, self.mesh, cfg.mesh.data_axis,
+                self.codec,
+            )
+        return replay_init(
+            cfg.replay.capacity, self.env.obs_shape, self.env.num_actions,
+            self.codec,
+        )
+
+    def place_replay(self, replay):
+        """Re-place a host-restored replay onto the mesh (per-shard rings
+        when dp > 1, single device ring otherwise)."""
+        if self.dp > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            sharding = NamedSharding(self.mesh, P(self.cfg.mesh.data_axis))
+            return jax.tree.map(
+                lambda x: jax.device_put(x, sharding), replay
+            )
+        return jax.device_put(replay)
 
 
 def _visualize_tree(learner, best, generation, results_dir, game, run_id,
@@ -145,10 +261,16 @@ def _visualize_tree(learner, best, generation, results_dir, game, run_id,
     best params (parity with visualize_mcts_iteration, utils.py:136-162):
     a 'light' (visited-edges) render per iteration; when the best model just
     changed (`updated`), archive light + full renders under
-    self_play/updated_mcts/ as well (utils.py:153-162)."""
+    self_play/updated_mcts/ as well (utils.py:153-162).
+
+    Called on EVERY host: fetching the params is a collective; the search
+    and render then run on the coordinator's local devices only."""
     from custom_alphazero_tpu.search.mcts import MCTS
     from custom_alphazero_tpu.tools.visualize import save_tree
 
+    best_host = sharded.fetch(best)
+    if not distributed.is_coordinator():
+        return
     cfg = learner.cfg
     mcts = MCTS(learner.env, cfg.mcts)
     roots = jax.vmap(lambda _: learner.env.init())(jnp.arange(1))
@@ -161,7 +283,7 @@ def _visualize_tree(learner, best, generation, results_dir, game, run_id,
                 cfg.mcts.simulations,
             )
         )
-    tree = learner._viz_search(best[0], best[1], roots,
+    tree = learner._viz_search(best_host[0], best_host[1], roots,
                                jax.random.PRNGKey(generation))
     out = os.path.join(
         paths.self_play_iteration_path(results_dir, game, run_id, generation),
@@ -183,13 +305,21 @@ def _visualize_tree(learner, best, generation, results_dir, game, run_id,
 
 
 def run(cfg: Config, generations: Optional[int] = None) -> dict:
-    """Train; returns a summary dict (for tests and tools)."""
+    """Train; returns a summary dict (for tests and tools).
+
+    Multi-host: every process runs this same function (SPMD over the global
+    mesh, SURVEY §7.6); host-side I/O — run directories, config snapshot,
+    checkpoints, metrics, sample archives, tree renders — happens on the
+    coordinator only (the reference wrote from each of its three processes
+    to a shared results dir; here non-coordinator hosts write nothing)."""
+    coordinator = distributed.is_coordinator()
     run_id = cfg.run.run_id or paths.new_run_id()
     results_dir, game = cfg.run.results_dir, cfg.game
-    paths.create_all_directories(results_dir, game, run_id)
-    run_dir = paths.run_path(results_dir, game, run_id)
-    with open(os.path.join(run_dir, paths.CONFIG_FILE), "w") as fp:
-        fp.write(to_json(cfg))
+    if coordinator:
+        paths.create_all_directories(results_dir, game, run_id)
+        run_dir = paths.run_path(results_dir, game, run_id)
+        with open(os.path.join(run_dir, paths.CONFIG_FILE), "w") as fp:
+            fp.write(to_json(cfg))
 
     learner = Learner(cfg)
     rng = jax.random.PRNGKey(cfg.run.seed)
@@ -198,13 +328,19 @@ def run(cfg: Config, generations: Optional[int] = None) -> dict:
     train_state, replay = learner.init_state(k_init)
     training_dir = paths.training_path(results_dir, game, run_id)
     if checkpoint_exists(training_dir):
+        # Every host loads the same checkpoint from the shared filesystem
+        # (SURVEY §7.6: run metadata on shared FS) so state stays identical.
         train_state, meta, saved_replay = load_checkpoint(
-            training_dir, train_state, replay
+            training_dir, sharded.fetch(train_state), sharded.fetch(replay)
+        )
+        train_state = train_state.replace(
+            params=shard_params(train_state.params, learner.mesh, cfg.mesh)
         )
         if saved_replay is not None:
-            replay = saved_replay
-        print(f"Resumed training state at step {meta['steps']} "
-              f"(replay={int(jax.device_get(replay.size))})")
+            replay = learner.place_replay(saved_replay)
+        if coordinator:
+            print(f"Resumed training state at step {meta['steps']} "
+                  f"(replay={int(jax.device_get(replay.size.sum()))})")
 
     # Best params start as the candidate's (the reference serves a
     # random-weight model until the first promotion, serving/api/main.py:26);
@@ -217,11 +353,19 @@ def run(cfg: Config, generations: Optional[int] = None) -> dict:
         paths.evaluation_path(results_dir, game, run_id)
     )
     if latest_best is not None:
-        best_state, _ = load_checkpoint(latest_best[1], train_state)
+        best_state, _ = load_checkpoint(
+            latest_best[1], sharded.fetch(train_state)
+        )
+        best_state = best_state.replace(
+            params=shard_params(best_state.params, learner.mesh, cfg.mesh)
+        )
         best = (best_state.params, best_state.batch_stats)
-        print(f"Restored best model from iteration {latest_best[0]}")
+        if coordinator:
+            print(f"Restored best model from iteration {latest_best[0]}")
 
-    metrics = MetricsWriter(paths.tensorboard_path(results_dir, game, run_id))
+    metrics = MetricsWriter(
+        paths.tensorboard_path(results_dir, game, run_id)
+    ) if coordinator else None
     iteration = int(train_state.steps)
     total = generations if generations is not None else cfg.loop.generations
     generation = 0
@@ -258,8 +402,10 @@ def run(cfg: Config, generations: Optional[int] = None) -> dict:
         rng, k_gen = jax.random.split(rng)
         batch, stats = learner.generate(best[0], best[1], k_gen)
         replay = learner.replay_add(replay, batch)
-        valid_host = jax.device_get(batch.valid)
-        samples = int(valid_host.sum())
+        # Replicated scalar reductions are safe to read on every host; the
+        # sharded batch itself is only fetched when the coordinator needs
+        # to archive it.
+        samples = int(jax.device_get(batch.valid.sum()))
         gen_time = time.time() - gen_start
         if heartbeat is not None:
             heartbeat.beat()
@@ -269,17 +415,18 @@ def run(cfg: Config, generations: Optional[int] = None) -> dict:
         if freq and (generation + 1) % freq == 0:
             # Per-generation sample archive (reference samples.npz,
             # self_play.py:170-178, read back by offline analysis only).
-            it_dir = paths.self_play_iteration_path(
-                results_dir, game, run_id, generation
-            )
-            os.makedirs(it_dir, exist_ok=True)
-            host = jax.device_get(batch)
-            np.savez(
-                os.path.join(it_dir, paths.SAMPLES_FILE),
-                states=host.obs[valid_host],
-                policies=host.policy[valid_host],
-                values=host.value[valid_host],
-            )
+            host = sharded.fetch(batch)
+            if coordinator:
+                it_dir = paths.self_play_iteration_path(
+                    results_dir, game, run_id, generation
+                )
+                os.makedirs(it_dir, exist_ok=True)
+                np.savez(
+                    os.path.join(it_dir, paths.SAMPLES_FILE),
+                    states=host.obs[host.valid],
+                    policies=host.policy[host.valid],
+                    values=host.value[host.valid],
+                )
         vfreq = cfg.loop.visualize_frequency
         if vfreq and (generation + 1) % vfreq == 0:
             # `updated` = the best model changed since the last render
@@ -291,24 +438,33 @@ def run(cfg: Config, generations: Optional[int] = None) -> dict:
             if heartbeat is not None:
                 heartbeat.beat()
         sims = int(stats.plies) * cfg.mcts.simulations
-        print(
-            f"[gen {generation}] {samples} samples from "
-            f"{int(stats.games)} games in {gen_time:.2f}s "
-            f"({sims / max(gen_time, 1e-9):,.0f} sims/s), replay={int(jax.device_get(replay.size))}"
-        )
-        metrics.scalars(
-            {
-                "self_play/samples": samples,
-                "self_play/games": int(stats.games),
-                "self_play/mean_game_length": float(stats.mean_game_length),
-                "self_play/draws": int(stats.draws),
-                "self_play/sims_per_second": sims / max(gen_time, 1e-9),
-            },
-            iteration,
-        )
+        if coordinator:
+            print(
+                f"[gen {generation}] {samples} samples from "
+                f"{int(stats.games)} games in {gen_time:.2f}s "
+                f"({sims / max(gen_time, 1e-9):,.0f} sims/s), "
+                f"replay={int(jax.device_get(replay.size.sum()))}"
+            )
+        if metrics is not None:
+            metrics.scalars(
+                {
+                    "self_play/samples": samples,
+                    "self_play/games": int(stats.games),
+                    "self_play/mean_game_length": float(stats.mean_game_length),
+                    "self_play/draws": int(stats.draws),
+                    "self_play/sims_per_second": sims / max(gen_time, 1e-9),
+                },
+                iteration,
+            )
 
+        # Warmup gate: every shard must be able to serve its slice of a
+        # batch; min-shard size also reproduces the reference's global gate
+        # when dp == 1 (train.py:59).
         warmup = max(cfg.replay.min_size, cfg.model.batch_size)
-        if int(jax.device_get(replay.size)) >= warmup:
+        total_size = int(jax.device_get(replay.size.sum()))
+        min_shard = int(jax.device_get(replay.size.min()))
+        local_batch = cfg.model.batch_size // learner.dp
+        if total_size >= warmup and min_shard >= local_batch:
             for _ in range(cfg.loop.train_iterations_per_generation):
                 rng, k_batch = jax.random.split(rng)
                 obs_b, pi_b, z_b = learner.replay_sample(replay, k_batch)
@@ -317,27 +473,38 @@ def run(cfg: Config, generations: Optional[int] = None) -> dict:
                 if heartbeat is not None:
                     heartbeat.beat()
                 summary["iterations"] = iteration
-                metrics.scalars(
-                    {
-                        "train/loss": float(m.loss),
-                        "train/policy_loss": float(m.policy_loss),
-                        "train/value_loss": float(m.value_loss),
-                        "train/learning_rate": float(m.learning_rate),
-                        "train/steps": iteration,
-                    },
-                    iteration,
-                )
+                if metrics is not None:
+                    metrics.scalars(
+                        {
+                            "train/loss": float(m.loss),
+                            "train/policy_loss": float(m.policy_loss),
+                            "train/value_loss": float(m.value_loss),
+                            "train/learning_rate": float(m.learning_rate),
+                            "train/steps": iteration,
+                        },
+                        iteration,
+                    )
 
                 cfreq = cfg.arena.checkpoint_frequency
                 if cfreq and iteration % cfreq == 0:
-                    # Async: disk IO off the training thread; serialized by
-                    # the module lock, joined before run() returns.
-                    pending_save = save_checkpoint_async(
-                        training_dir,
-                        train_state,
-                        float(learner.schedule(train_state.steps)),
-                        replay if cfg.loop.checkpoint_replay else None,
+                    # Sharded leaves must be gathered on every host (the
+                    # all-gather is a collective); only the coordinator
+                    # then writes.
+                    state_host = sharded.fetch(train_state)
+                    replay_host = (
+                        sharded.fetch(replay)
+                        if cfg.loop.checkpoint_replay else None
                     )
+                    if coordinator:
+                        # Async: disk IO off the training thread;
+                        # serialized by the module lock, joined before
+                        # run() returns.
+                        pending_save = save_checkpoint_async(
+                            training_dir,
+                            state_host,
+                            float(learner.schedule(train_state.steps)),
+                            replay_host,
+                        )
                 efreq = cfg.arena.evaluation_frequency
                 if efreq and iteration % efreq == 0:
                     rng, k_arena = jax.random.split(rng)
@@ -348,12 +515,16 @@ def run(cfg: Config, generations: Optional[int] = None) -> dict:
                     score = float(jax.device_get(result.score))
                     promoted = bool(jax.device_get(result.promote))
                     summary["last_arena_score"] = score
-                    print(
-                        f"[iter {iteration}] arena score={score:.3f} "
-                        f"(+{int(result.wins)}/-{int(result.losses)}/="
-                        f"{int(result.draws)}) promoted={promoted}"
-                    )
-                    metrics.scalar("evaluation/winning_score", score, iteration)
+                    if coordinator:
+                        print(
+                            f"[iter {iteration}] arena score={score:.3f} "
+                            f"(+{int(result.wins)}/-{int(result.losses)}/="
+                            f"{int(result.draws)}) promoted={promoted}"
+                        )
+                    if metrics is not None:
+                        metrics.scalar(
+                            "evaluation/winning_score", score, iteration
+                        )
                     if (cfg.arena.evaluate_with_solver
                             and cfg.game == "connect_n"
                             and cfg.connect_n == type(cfg.connect_n)()):
@@ -364,14 +535,16 @@ def run(cfg: Config, generations: Optional[int] = None) -> dict:
                             score_arena_log,
                         )
 
-                        solver_score = score_arena_log(
-                            jax.device_get(result.log)
-                        )
-                        print(f"[iter {iteration}] solver score="
-                              f"{solver_score:.3f}")
-                        metrics.scalar(
-                            "evaluation/solver_score", solver_score, iteration
-                        )
+                        log_host = sharded.fetch(result.log)
+                        if coordinator:
+                            solver_score = score_arena_log(log_host)
+                            print(f"[iter {iteration}] solver score="
+                                  f"{solver_score:.3f}")
+                            if metrics is not None:
+                                metrics.scalar(
+                                    "evaluation/solver_score", solver_score,
+                                    iteration,
+                                )
                     if promoted:
                         best = (train_state.params, train_state.batch_stats)
                         summary["promotions"] += 1
@@ -379,16 +552,19 @@ def run(cfg: Config, generations: Optional[int] = None) -> dict:
                     # The *winner*'s weights land in evaluation/iteration_N —
                     # the candidate when promoted, the incumbent otherwise
                     # (reference model/tensorflow/train.py:92-102).
-                    winner_state = train_state.replace(
-                        params=best[0], batch_stats=best[1]
+                    winner_state = sharded.fetch(
+                        train_state.replace(
+                            params=best[0], batch_stats=best[1]
+                        )
                     )
-                    save_checkpoint(
-                        paths.evaluation_iteration_path(
-                            results_dir, game, run_id, iteration
-                        ),
-                        winner_state,
-                        float(learner.schedule(train_state.steps)),
-                    )
+                    if coordinator:
+                        save_checkpoint(
+                            paths.evaluation_iteration_path(
+                                results_dir, game, run_id, iteration
+                            ),
+                            winner_state,
+                            float(learner.schedule(train_state.steps)),
+                        )
                     if heartbeat is not None:
                         heartbeat.beat()
         generation += 1
@@ -396,11 +572,16 @@ def run(cfg: Config, generations: Optional[int] = None) -> dict:
         watchdog.disarm()
     if pending_save is not None:
         pending_save.join()
-    metrics.close()
+    if metrics is not None:
+        metrics.close()
     return summary
 
 
 def main(argv=None):
+    # Multi-host entry: a no-op on one host; on a pod slice every host runs
+    # this same command and joins the global mesh (SURVEY §7.6,
+    # parallel/distributed.py).
+    distributed.initialize()
     overrides = parse_cli_overrides(sys.argv[1:] if argv is None else argv)
     cfg = apply_overrides(Config(), overrides)
     run(cfg)

@@ -32,7 +32,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+try:  # jax >= 0.7 top-level API; the experimental alias is deprecated
+    from jax import shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
 
 from custom_alphazero_tpu.config import (
     ConnectNConfig,
@@ -94,7 +97,7 @@ def build_generate(env, net, mcts_cfg, per_device_games, plies, mesh):
         mesh=mesh,
         in_specs=(P(), P(), P("data")),
         out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(sharded)
 

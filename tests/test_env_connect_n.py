@@ -155,3 +155,27 @@ def test_config_overrides_roundtrip():
     cfg3 = cfg_mod.from_json(cfg_mod.to_json(cfg2))
     assert cfg3 == cfg2
     assert dataclasses.asdict(cfg3) == dataclasses.asdict(cfg2)
+
+
+def test_config_validation_rejects_foot_guns():
+    """Parse-time validation (VERDICT r1 #10): lr schedule shape and a tree
+    capacity below the per-simulation slot floor raise instead of being
+    silently adjusted downstream."""
+    from custom_alphazero_tpu import config as cfg_mod
+
+    cfg = cfg_mod.Config()
+    with pytest.raises(ValueError, match="lr_values"):
+        cfg_mod.apply_overrides(cfg, {"model.lr_values": "(0.01,0.001)"})
+    with pytest.raises(ValueError, match="increasing"):
+        cfg_mod.apply_overrides(
+            cfg, {"model.lr_boundaries": "(1000,1000)"}
+        )
+    with pytest.raises(ValueError, match="max_nodes"):
+        cfg_mod.apply_overrides(
+            cfg, {"mcts.simulations": "100", "mcts.max_nodes": "50"}
+        )
+    # max_nodes=0 stays the auto mode; >= simulations is fine.
+    ok = cfg_mod.apply_overrides(
+        cfg, {"mcts.simulations": "100", "mcts.max_nodes": "200"}
+    )
+    assert ok.mcts.max_nodes == 200

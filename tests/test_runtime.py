@@ -178,14 +178,42 @@ def test_arena_raw_policy_gating():
     assert 0.3 < float(result_self.score) < 0.7
 
 
+def test_arena_half_split_routes_each_model_to_its_half():
+    """The half-batch evaluator (one forward per model per ply instead of
+    both models on the full batch) must route each game's move to the acting
+    model: tag each model with a distinct fixed move and check the played
+    action always matches the movers log."""
+    arena = make_arena_fn(
+        ENV, ArenaConfig(evaluate_with_mcts=False, deterministic=True),
+        MCTSConfig(), max_plies=12,
+    )
+
+    def tagged(col):
+        def ev(obs):
+            b = obs.shape[0]
+            probs = jnp.full((b, A), 1e-6).at[:, col].set(1.0)
+            return probs, jnp.zeros((b,))
+        return ev
+
+    result = jax.jit(lambda k: arena(tagged(1), tagged(5), k, 16))(
+        jax.random.PRNGKey(3)
+    )
+    log = jax.device_get(result.log)
+    live = log.active.astype(bool)
+    want = np.where(log.movers == 0, 1, 5)
+    assert (log.actions[live] == want[live]).all()
+
+
 def test_arena_log_consistency():
     arena = make_arena_fn(ENV, ArenaConfig(), MCTSConfig(), max_plies=42)
     result = jax.jit(lambda k: arena(uniform_eval, uniform_eval, k, 16))(
         jax.random.PRNGKey(2)
     )
     log = jax.device_get(result.log)
-    # Candidate starts even games; movers alternate per ply.
-    assert (log.movers[0, ::2] == 0).all() and (log.movers[0, 1::2] == 1).all()
+    # Candidate starts the first half of games (contiguous-half starter
+    # assignment so each model forwards one half-batch per ply); movers
+    # alternate per ply.
+    assert (log.movers[0, :8] == 0).all() and (log.movers[0, 8:] == 1).all()
     assert (log.movers[1] == 1 - log.movers[0]).all()
     # Active masks are prefixes.
     act = log.active

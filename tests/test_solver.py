@@ -227,3 +227,86 @@ def test_cli_book_flag():
     # board is empty, so index from the right.
     assert int(lines[0].split(" ")[-3]) == 1   # empty board via book
     assert int(lines[1].split(" ")[-3]) == 18
+
+
+# ---------------------------------------------------------------------------
+# Cross-check against the VENDORED reference binary (PascalPons' solver the
+# reference actually ships, /root/reference/custom_alphazero/exact_solvers/
+# c4solver): score-for-score equality on random positions pins both the
+# strong-solver semantics and the CLI line protocol the reference wrapper
+# parses (c4_exact_solver.py:28-48).
+# ---------------------------------------------------------------------------
+
+_REF_BIN = "/root/reference/custom_alphazero/exact_solvers/c4solver"
+
+
+def _runnable_reference_binary(tmp_path):
+    """The vendored binary is mode 0444 on a read-only mount; copy it out
+    and set the exec bit. Returns None when it can't execute here."""
+    import shutil
+    import stat
+
+    if not os.path.exists(_REF_BIN):
+        return None
+    dst = str(tmp_path / "ref_c4solver")
+    shutil.copy(_REF_BIN, dst)
+    os.chmod(dst, os.stat(dst).st_mode | stat.S_IXUSR)
+    try:
+        probe = subprocess.run(
+            [dst], input="4455\n", capture_output=True, text=True, timeout=60
+        )
+    except (OSError, subprocess.TimeoutExpired):
+        return None
+    if probe.returncode != 0 or "4455" not in probe.stdout:
+        return None
+    return dst
+
+
+def _random_positions(n, rng, max_plies=28):
+    """Unique non-terminal positions as 1-indexed move strings, mixed depths
+    (shallow positions are the slow ones for a bookless strong solver, so
+    keep them a small fraction)."""
+    out = []
+    seen = set()
+    while len(out) < n:
+        depth = int(rng.integers(8, max_plies))
+        b = RefConnectN()
+        moves = []
+        for _ in range(depth):
+            legal = np.nonzero(b.legal_mask())[0]
+            m = int(rng.choice(legal))
+            b.play(m)
+            if b.terminal:
+                break
+            moves.append(m)
+        key = "".join(str(m + 1) for m in moves)
+        if len(moves) >= 8 and key not in seen:
+            seen.add(key)
+            out.append(key)
+    return out
+
+
+def test_reference_binary_score_parity(tmp_path):
+    ref = _runnable_reference_binary(tmp_path)
+    if ref is None:
+        pytest.skip("vendored reference binary cannot execute here")
+    rng = np.random.default_rng(7)
+    positions = _random_positions(300, rng)
+    stdin = "\n".join(positions) + "\n"
+
+    ref_out = subprocess.run(
+        [ref], input=stdin, capture_output=True, text=True, timeout=600
+    ).stdout.strip().splitlines()
+    ours_out = subprocess.run(
+        [sv.cli_path(), "-b", "/nonexistent/book"], input=stdin,
+        capture_output=True, text=True, timeout=600,
+    ).stdout.strip().splitlines()
+
+    assert len(ref_out) == len(ours_out) == len(positions)
+    for pos, rl, ol in zip(positions, ref_out, ours_out):
+        rf, of = rl.split(" "), ol.split(" ")
+        # Same line protocol: 4 fields, field 0 echoes the position.
+        assert len(rf) == len(of) == 4
+        assert rf[0] == of[0] == pos
+        # Field 1: identical strong score.
+        assert int(rf[1]) == int(of[1]), f"score mismatch at {pos}: {rl} vs {ol}"
