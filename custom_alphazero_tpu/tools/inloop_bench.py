@@ -36,15 +36,21 @@ for continuous in (False, True):
         jax.block_until_ready(out)
         compile_time = time.perf_counter() - t0
         times, all_plies, all_samples = [], [], []
+        import numpy as np
+
         for i in range(ITERS):
             rng, k = jax.random.split(rng)
             t0 = time.perf_counter()
             batch, st = learner.generate(params, stats, k)
-            jax.block_until_ready((batch, st))
+            # On the axon tunnel backend block_until_ready can return
+            # early; a host transfer is the only reliable barrier
+            # (bench.py _sync), so fetch inside the timed region.
+            plies = int(np.asarray(st.plies))
+            samples = int(np.asarray(batch.valid.sum()))
             times.append(time.perf_counter() - t0)
-            all_plies.append(int(jax.device_get(st.plies)))
-            all_samples.append(int(jax.device_get(batch.valid.sum())))
-        t = min(times)
+            all_plies.append(plies)
+            all_samples.append(samples)
+        t = sorted(times)[len(times) // 2]  # median: robust to sync skew
         idx = times.index(t)
         sims = all_plies[idx] * cfg.mcts.simulations
         print(
