@@ -137,6 +137,12 @@ class ReplayConfig:
     # Bit-pack binary observation planes in the device ring (replay/codec.py,
     # exact roundtrip, ~32x less HBM — keeps chess-scale rings on device).
     compress_obs: bool = True
+    # > 0: store policy targets as sparse top-K rows (replay/codec.py
+    # TopKPolicyCodec). Exact whenever K >= visited root children per
+    # position (<= min(simulations, legal moves)); the tail is renormalized
+    # away otherwise. 0 = dense rows (reference semantics; fine for
+    # Connect-4's 7 actions, ~8x HBM saving at chess's 1968).
+    policy_topk: int = 0
 
 
 @dataclass(frozen=True)

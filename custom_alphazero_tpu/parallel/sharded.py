@@ -127,7 +127,7 @@ def make_sharded_generate(
 
 def sharded_replay_init(
     capacity: int, obs_shape, num_actions: int, mesh: Mesh,
-    data_axis: str = "data", codec=None,
+    data_axis: str = "data", codec=None, policy_codec=None,
 ) -> ReplayState:
     """A replay ring sharded over `data`: rows split across shards, with
     per-shard head/size cursors (shape (dp,)). Total capacity stays
@@ -136,7 +136,8 @@ def sharded_replay_init(
     dp = data_parallelism(mesh, data_axis)
     if capacity % dp:
         raise ValueError(f"replay capacity {capacity} not divisible by {dp}")
-    state = replay_init(capacity, obs_shape, num_actions, codec)
+    state = replay_init(capacity, obs_shape, num_actions, codec,
+                        policy_codec)
     state = state.replace(
         head=jnp.zeros((dp,), jnp.int32),
         size=jnp.zeros((dp,), jnp.int32),
@@ -159,6 +160,7 @@ def make_sharded_replay_ops(
     train_batch_size: int,
     data_axis: str = "data",
     codec=None,
+    policy_codec=None,
 ):
     """(add, sample) over per-shard rings. `add` appends each shard's rows
     of a generation batch to that shard's ring (single-device FIFO
@@ -177,7 +179,7 @@ def make_sharded_replay_ops(
         return state.replace(head=state.head[0], size=state.size[0])
 
     def local_add(state, batch):
-        new = replay_add(local_view(state), batch, codec)
+        new = replay_add(local_view(state), batch, codec, policy_codec)
         return new.replace(head=new.head[None], size=new.size[None])
 
     add = shard_map(
@@ -189,7 +191,8 @@ def make_sharded_replay_ops(
     )
 
     def local_sample(state, keys):
-        return replay_sample(local_view(state), keys[0], local_batch, codec)
+        return replay_sample(local_view(state), keys[0], local_batch,
+                             codec, policy_codec)
 
     sharded_sample = shard_map(
         local_sample,

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from custom_alphazero_tpu.replay.codec import BitplaneCodec
+from custom_alphazero_tpu.replay.codec import BitplaneCodec, TopKPolicyCodec
 from custom_alphazero_tpu.runtime.selfplay import SelfPlayBatch
 
 
@@ -31,7 +31,8 @@ from custom_alphazero_tpu.runtime.selfplay import SelfPlayBatch
 class ReplayState:
     obs: jnp.ndarray     # (C, H, W, ch) float32, or PackedObs when a codec
     #     is in use (words (C, n_words) uint32 + scalars (C, n_scalars))
-    policy: jnp.ndarray  # (C, A)
+    policy: jnp.ndarray  # (C, A), or TopKPolicy when a policy codec is in
+    #     use (values/indices (C, K) — sparse top-K rows for chess-scale A)
     value: jnp.ndarray   # (C,)
     head: jnp.ndarray    # () next write slot
     size: jnp.ndarray    # () filled entries, <= C
@@ -42,15 +43,21 @@ def replay_init(
     obs_shape,
     num_actions: int,
     codec: Optional[BitplaneCodec] = None,
+    policy_codec: Optional[TopKPolicyCodec] = None,
 ) -> ReplayState:
     obs = (
         codec.packed_zeros((capacity,))
         if codec is not None
         else jnp.zeros((capacity,) + tuple(obs_shape), jnp.float32)
     )
+    policy = (
+        policy_codec.packed_zeros((capacity,))
+        if policy_codec is not None
+        else jnp.zeros((capacity, num_actions), jnp.float32)
+    )
     return ReplayState(
         obs=obs,
-        policy=jnp.zeros((capacity, num_actions), jnp.float32),
+        policy=policy,
         value=jnp.zeros((capacity,), jnp.float32),
         head=jnp.int32(0),
         size=jnp.int32(0),
@@ -61,6 +68,7 @@ def replay_add(
     state: ReplayState,
     batch: SelfPlayBatch,
     codec: Optional[BitplaneCodec] = None,
+    policy_codec: Optional[TopKPolicyCodec] = None,
 ) -> ReplayState:
     """Masked FIFO append: valid samples land at consecutive ring slots in
     order; invalid rows scatter out-of-bounds and are dropped by XLA.
@@ -69,7 +77,7 @@ def replay_add(
     defaults: 256 games x 512 plies >> a 10k ring), only the NEWEST
     `capacity` are written — wrapped slots would otherwise duplicate, and
     XLA keeps an arbitrary duplicate, silently mixing old and new rows."""
-    capacity = state.policy.shape[0]
+    capacity = state.value.shape[0]
     mask = batch.valid
     total = mask.sum().astype(jnp.int32)
     offsets = jnp.cumsum(mask.astype(jnp.int32)) - 1
@@ -79,11 +87,18 @@ def replay_add(
     slots = jnp.where(mask, (state.head + offsets) % capacity, capacity)
     count = mask.sum().astype(jnp.int32)
     obs_rows = codec.encode(batch.obs) if codec is not None else batch.obs
+    policy_rows = (
+        policy_codec.encode(batch.policy)
+        if policy_codec is not None else batch.policy
+    )
     return state.replace(
         obs=jax.tree.map(
             lambda store, rows: store.at[slots].set(rows), state.obs, obs_rows
         ),
-        policy=state.policy.at[slots].set(batch.policy),
+        policy=jax.tree.map(
+            lambda store, rows: store.at[slots].set(rows),
+            state.policy, policy_rows,
+        ),
         value=state.value.at[slots].set(batch.value),
         head=(state.head + count) % capacity,
         size=jnp.minimum(state.size + count, capacity),
@@ -95,15 +110,19 @@ def replay_sample(
     rng,
     batch_size: int,
     codec: Optional[BitplaneCodec] = None,
+    policy_codec: Optional[TopKPolicyCodec] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Uniform sample of `batch_size` entries without replacement
     (Gumbel-top-k over the filled region). Requires size >= batch_size —
     enforced by the warmup gate like the reference (train.py:59)."""
-    capacity = state.policy.shape[0]
+    capacity = state.value.shape[0]
     scores = jax.random.uniform(rng, (capacity,))
     scores = jnp.where(jnp.arange(capacity) < state.size, scores, -jnp.inf)
     _, idx = jax.lax.top_k(scores, batch_size)
     obs = jax.tree.map(lambda a: a[idx], state.obs)
     if codec is not None:
         obs = codec.decode(obs)
-    return obs, state.policy[idx], state.value[idx]
+    policy = jax.tree.map(lambda a: a[idx], state.policy)
+    if policy_codec is not None:
+        policy = policy_codec.decode(policy)
+    return obs, policy, state.value[idx]

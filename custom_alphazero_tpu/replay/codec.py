@@ -128,3 +128,53 @@ def codec_for_env(env) -> BitplaneCodec:
     scalar = tuple(getattr(env, "obs_scalar_channels", ()))
     binary = tuple(i for i in range(c) if i not in scalar)
     return BitplaneCodec(env.obs_shape, binary, scalar)
+
+
+class TopKPolicy(NamedTuple):
+    """Sparse policy row: top-K (renormalized) probabilities + indices."""
+
+    values: jnp.ndarray   # (..., K) float32
+    indices: jnp.ndarray  # (..., K) int32
+
+
+class TopKPolicyCodec:
+    """Sparse storage for large-action-space policy targets.
+
+    A chess policy row is (1968,) float32 = 7.9 KB — after obs bit-packing
+    it dominates replay HBM. A search policy target has at most
+    min(simulations, legal moves) non-zeros (root visit counts normalized,
+    runtime/selfplay.py), so top-K with K >= that bound is exact; smaller K
+    truncates the tail and renormalizes (documented lossy mode). K=128 at
+    1 KB/row is exact for every position with <= 128 visited root children.
+    """
+
+    def __init__(self, num_actions: int, k: int):
+        assert 0 < k <= num_actions
+        self.num_actions = num_actions
+        self.k = k
+
+    def packed_zeros(self, leading: Tuple[int, ...]) -> TopKPolicy:
+        return TopKPolicy(
+            values=jnp.zeros(leading + (self.k,), jnp.float32),
+            indices=jnp.zeros(leading + (self.k,), jnp.int32),
+        )
+
+    def encode(self, policy: jnp.ndarray) -> TopKPolicy:
+        values, indices = jax.lax.top_k(policy, self.k)
+        total = jnp.maximum(values.sum(-1, keepdims=True), 1e-30)
+        return TopKPolicy(
+            values=(values / total).astype(jnp.float32),
+            indices=indices.astype(jnp.int32),
+        )
+
+    def decode(self, packed: TopKPolicy) -> jnp.ndarray:
+        lead = packed.values.shape[:-1]
+        flat_idx = packed.indices.reshape((-1, self.k))
+        flat_val = packed.values.reshape((-1, self.k))
+
+        def row(idx, val):
+            # .add: zero-valued padding rows may repeat an index harmlessly.
+            return jnp.zeros((self.num_actions,), jnp.float32).at[idx].add(val)
+
+        dense = jax.vmap(row)(flat_idx, flat_val)
+        return dense.reshape(lead + (self.num_actions,))

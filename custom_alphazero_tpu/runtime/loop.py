@@ -55,7 +55,7 @@ from custom_alphazero_tpu.replay.buffer import (
     replay_init,
     replay_sample,
 )
-from custom_alphazero_tpu.replay.codec import codec_for_env
+from custom_alphazero_tpu.replay.codec import TopKPolicyCodec, codec_for_env
 from custom_alphazero_tpu.runtime.arena import make_arena_fn
 from custom_alphazero_tpu.runtime.selfplay import make_selfplay_fn
 from custom_alphazero_tpu.runtime.train import (
@@ -147,6 +147,10 @@ class Learner:
         self.codec = (
             codec_for_env(self.env) if cfg.replay.compress_obs else None
         )
+        self.policy_codec = (
+            TopKPolicyCodec(self.env.num_actions, cfg.replay.policy_topk)
+            if cfg.replay.policy_topk else None
+        )
 
         if self.dp > 1:
             # Multi-device / multi-host: every phase runs shard_mapped over
@@ -160,7 +164,7 @@ class Learner:
             )
             add, sample = sharded.make_sharded_replay_ops(
                 self.mesh, cfg.model.batch_size, cfg.mesh.data_axis,
-                self.codec,
+                self.codec, self.policy_codec,
             )
             self.replay_add = jax.jit(add)
             self.replay_sample = jax.jit(sample)
@@ -195,11 +199,11 @@ class Learner:
 
             self.generate = jax.jit(generate)
             self.replay_add = jax.jit(
-                lambda r, b: replay_add(r, b, self.codec)
+                lambda r, b: replay_add(r, b, self.codec, self.policy_codec)
             )
             self.replay_sample = jax.jit(
                 lambda r, k: replay_sample(r, k, cfg.model.batch_size,
-                                           self.codec)
+                                           self.codec, self.policy_codec)
             )
 
             arena = make_arena_fn(self.env, cfg.arena, cfg.mcts, max_plies)
@@ -235,11 +239,11 @@ class Learner:
             return sharded.sharded_replay_init(
                 cfg.replay.capacity, self.env.obs_shape,
                 self.env.num_actions, self.mesh, cfg.mesh.data_axis,
-                self.codec,
+                self.codec, self.policy_codec,
             )
         return replay_init(
             cfg.replay.capacity, self.env.obs_shape, self.env.num_actions,
-            self.codec,
+            self.codec, self.policy_codec,
         )
 
     def place_replay(self, replay):

@@ -104,3 +104,55 @@ def test_replay_ring_with_codec_matches_plain():
     np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
     np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
     np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+
+
+def test_topk_policy_codec_exact_when_k_covers_support():
+    from custom_alphazero_tpu.replay.codec import TopKPolicyCodec
+
+    A, K = 1968, 128
+    codec = TopKPolicyCodec(A, K)
+    rng = np.random.default_rng(5)
+    # Sparse rows like search policy targets: <= K nonzero visit fractions.
+    dense = np.zeros((32, A), np.float32)
+    for i in range(32):
+        support = rng.choice(A, size=rng.integers(1, K + 1), replace=False)
+        w = rng.random(len(support)).astype(np.float32)
+        dense[i, support] = w / w.sum()
+    out = jax.jit(lambda p: codec.decode(codec.encode(p)))(jnp.asarray(dense))
+    np.testing.assert_allclose(np.asarray(out), dense, rtol=1e-6, atol=1e-7)
+
+    # Over-full rows are truncated to the K largest and renormalized.
+    wide = jnp.asarray(rng.random((4, A)), jnp.float32)
+    wide = wide / wide.sum(-1, keepdims=True)
+    dec = jax.jit(lambda p: codec.decode(codec.encode(p)))(wide)
+    assert int((np.asarray(dec) > 0).sum(-1).max()) <= K
+    np.testing.assert_allclose(np.asarray(dec).sum(-1), 1.0, rtol=1e-5)
+
+
+def test_chess_scale_replay_fits_device_memory():
+    """VERDICT r1 #7: a chess-scale ring (400k rows, 8x8x118 obs, 1968
+    actions) must fit device-resident. With both codecs the ring is ~0.6 GB
+    vs ~15 GB raw — well under a v5e chip's 16 GB HBM."""
+    from custom_alphazero_tpu.envs.chess.engine import Chess
+    from custom_alphazero_tpu.replay.codec import TopKPolicyCodec
+
+    env = Chess()
+    codec = codec_for_env(env)
+    pc = TopKPolicyCodec(env.num_actions, 128)
+    rows = 400_000
+    packed_bytes = (
+        rows * codec.n_words * 4          # obs words
+        + rows * codec.n_scalars * 4      # obs scalars
+        + rows * pc.k * 8                 # policy values + indices
+        + rows * 4                        # value
+    )
+    raw_bytes = rows * (
+        int(np.prod(env.obs_shape)) * 4 + env.num_actions * 4 + 4
+    )
+    assert packed_bytes < 1.0 * 2**30, packed_bytes / 2**30
+    assert raw_bytes > 12 * 2**30
+    # And the allocation path actually builds at this scale cheaply: the
+    # fields are created but we only materialize a small ring here (CPU).
+    small = replay_init(1024, env.obs_shape, env.num_actions, codec, pc)
+    assert small.obs.words.shape == (1024, codec.n_words)
+    assert small.policy.values.shape == (1024, 128)
