@@ -342,11 +342,17 @@ class FusedConnectNSearchV2:
     def _kernel_call(self, num_nodes: int, batch: int, simulations: int):
         env, cfg = self.env, self.cfg
         n, a = num_nodes, env.num_actions
+        # Per-game VMEM window: 4 edge (a,n) + 5 node (n,) + 3 scalars in
+        # AND out, plus the board/prior inputs — double-buffered by the
+        # pipeline. Cap the games block so the windows stay inside the 64M
+        # scoped-vmem budget (at 250 sims a 512-game block is ~65M and the
+        # compiler rejects it; VERDICT-r2 probe).
+        floats_per_game = 2 * (4 * a * n + 5 * n + 3) + 2 * a + 1 + 2 * _CELLS
+        budget_games = int(0.9 * self._vmem_limit / (2 * 4 * floats_per_game))
+        cap = max(min(self.block_games, budget_games), 1)
         g = batch
-        if batch > self.block_games:
-            g = max(
-                d for d in range(1, self.block_games + 1) if batch % d == 0
-            )
+        if batch > cap:
+            g = max(d for d in range(1, cap + 1) if batch % d == 0)
         grid = (batch // g,)
 
         kernel = functools.partial(

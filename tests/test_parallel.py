@@ -169,3 +169,48 @@ def test_sharded_selfplay_runs_and_matches_semantics():
     np.testing.assert_allclose(
         np.asarray(batch.value), np.asarray(batch_s.value)
     )
+
+
+def test_learner_shards_all_phases_on_mesh():
+    """The production Learner on the 8-device mesh (VERDICT r1 #2): data
+    parallelism > 1, generation output and replay rows physically sharded
+    over `data`, and the sharded sample feeds the train step."""
+    from custom_alphazero_tpu.config import Config, apply_overrides
+    from custom_alphazero_tpu.runtime.loop import Learner
+
+    cfg = apply_overrides(Config(), {
+        "mcts.simulations": "8",
+        "self_play.games_per_generation": "16",
+        "self_play.exclude_draws": "false",
+        "model.depth": "1", "model.filters": "8", "model.value_hidden": "16",
+        "model.batch_size": "16",
+        "replay.capacity": "1024", "replay.min_size": "16",
+        "arena.games": "16",
+    })
+    learner = Learner(cfg)
+    assert learner.dp == 8
+
+    rng = jax.random.PRNGKey(0)
+    state, replay = learner.init_state(rng)
+
+    def devices_of(x):
+        return {d for d in x.sharding.device_set}
+
+    # Replay rows live across all 8 devices.
+    assert len(devices_of(replay.value)) == 8
+
+    batch, stats = learner.generate(state.params, state.batch_stats, rng)
+    assert len(devices_of(batch.value)) == 8
+    assert int(stats.games) == 16
+
+    replay = learner.replay_add(replay, batch)
+    obs_b, pi_b, z_b = learner.replay_sample(replay, jax.random.PRNGKey(1))
+    assert len(devices_of(z_b)) == 8
+    new_state, metrics = learner.train_step(state, obs_b, pi_b, z_b)
+    assert int(metrics.steps) == 1
+
+    result = learner.run_arena(
+        new_state.params, new_state.batch_stats,
+        state.params, state.batch_stats, jax.random.PRNGKey(2),
+    )
+    assert int(result.wins) + int(result.losses) + int(result.draws) == 16
