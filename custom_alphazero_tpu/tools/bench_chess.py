@@ -1,9 +1,10 @@
 """Chess search throughput benchmark.
 
-CLI: python -m custom_alphazero_tpu.tools.bench_chess
+CLI: python -m custom_alphazero_tpu.tools.bench_chess [--sims=N] [B1 B2 ...]
 Measures MCTS simulations/s on the pure-JAX chess engine with the
 reference-scale net (depth 4, 128 filters) and with a uniform evaluator
-(isolating search+engine cost from the network forward).
+(isolating search+engine cost from the network forward). --sims=800 is the
+BASELINE.json configs[3] chess workload (AlphaZero 800 sims/move).
 """
 import time
 
@@ -20,11 +21,12 @@ from custom_alphazero_tpu.search.mcts import MCTS
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
-SIMS = 64
+SIMS = 64  # default; override with --sims=
 NET = ModelConfig(depth=4, filters=128, value_hidden=256)
 
 
-def measure(batch_size: int, use_net: bool = True):
+def measure(batch_size: int, use_net: bool = True, sims: int = None):
+    SIMS = sims or globals()["SIMS"]
     env = Chess(ChessConfig())
     cfg = MCTSConfig(simulations=SIMS)
     mcts = MCTS(env, cfg)
@@ -70,15 +72,19 @@ if __name__ == "__main__":
     import sys
 
     sizes = []
+    sims = None
     for a in sys.argv[1:]:
+        if a.startswith("--sims="):
+            sims = int(a.split("=", 1)[1])
+            continue
         if not a.isdigit() or int(a) < 1:
             raise SystemExit(
-                f"bad batch size {a!r}\nusage: bench_chess [B1 B2 ...] "
-                "(positive ints; default 64 256 1024)"
+                f"bad batch size {a!r}\nusage: bench_chess [--sims=N] "
+                "[B1 B2 ...] (positive ints; default 64 256 1024)"
             )
         sizes.append(int(a))
     sizes = sizes or [64, 256, 1024]
     for b in sizes:
-        measure(b, use_net=True)
+        measure(b, use_net=True, sims=sims)
     for b in sizes[-2:]:
-        measure(b, use_net=False)
+        measure(b, use_net=False, sims=sims)
