@@ -342,9 +342,10 @@ def run(cfg: Config, generations: Optional[int] = None) -> dict:
         )
         if saved_replay is not None:
             replay = learner.place_replay(saved_replay)
+        resumed_size = int(jax.device_get(replay.size.sum()))
         if coordinator:
             print(f"Resumed training state at step {meta['steps']} "
-                  f"(replay={int(jax.device_get(replay.size.sum()))})")
+                  f"(replay={resumed_size})")
 
     # Best params start as the candidate's (the reference serves a
     # random-weight model until the first promotion, serving/api/main.py:26);
@@ -406,10 +407,16 @@ def run(cfg: Config, generations: Optional[int] = None) -> dict:
         rng, k_gen = jax.random.split(rng)
         batch, stats = learner.generate(best[0], best[1], k_gen)
         replay = learner.replay_add(replay, batch)
-        # Replicated scalar reductions are safe to read on every host; the
-        # sharded batch itself is only fetched when the coordinator needs
-        # to archive it.
+        # EVERY process computes every device->host scalar (reductions on
+        # sharded arrays are global computations; a conversion only the
+        # coordinator ran would desynchronize the collective streams —
+        # caught by tests/test_multihost.py). Only the I/O below is gated.
         samples = int(jax.device_get(batch.valid.sum()))
+        games = int(stats.games)
+        draws = int(stats.draws)
+        mean_game_length = float(stats.mean_game_length)
+        plies = int(stats.plies)
+        replay_total = int(jax.device_get(replay.size.sum()))
         gen_time = time.time() - gen_start
         if heartbeat is not None:
             heartbeat.beat()
@@ -441,21 +448,21 @@ def run(cfg: Config, generations: Optional[int] = None) -> dict:
             best_updated = False
             if heartbeat is not None:
                 heartbeat.beat()
-        sims = int(stats.plies) * cfg.mcts.simulations
+        sims = plies * cfg.mcts.simulations
         if coordinator:
             print(
                 f"[gen {generation}] {samples} samples from "
-                f"{int(stats.games)} games in {gen_time:.2f}s "
+                f"{games} games in {gen_time:.2f}s "
                 f"({sims / max(gen_time, 1e-9):,.0f} sims/s), "
-                f"replay={int(jax.device_get(replay.size.sum()))}"
+                f"replay={replay_total}"
             )
         if metrics is not None:
             metrics.scalars(
                 {
                     "self_play/samples": samples,
-                    "self_play/games": int(stats.games),
-                    "self_play/mean_game_length": float(stats.mean_game_length),
-                    "self_play/draws": int(stats.draws),
+                    "self_play/games": games,
+                    "self_play/mean_game_length": mean_game_length,
+                    "self_play/draws": draws,
                     "self_play/sims_per_second": sims / max(gen_time, 1e-9),
                 },
                 iteration,
@@ -465,7 +472,7 @@ def run(cfg: Config, generations: Optional[int] = None) -> dict:
         # batch; min-shard size also reproduces the reference's global gate
         # when dp == 1 (train.py:59).
         warmup = max(cfg.replay.min_size, cfg.model.batch_size)
-        total_size = int(jax.device_get(replay.size.sum()))
+        total_size = replay_total
         min_shard = int(jax.device_get(replay.size.min()))
         local_batch = cfg.model.batch_size // learner.dp
         if total_size >= warmup and min_shard >= local_batch:
@@ -474,20 +481,18 @@ def run(cfg: Config, generations: Optional[int] = None) -> dict:
                 obs_b, pi_b, z_b = learner.replay_sample(replay, k_batch)
                 train_state, m = learner.train_step(train_state, obs_b, pi_b, z_b)
                 iteration = int(m.steps)
+                train_scalars = {
+                    "train/loss": float(m.loss),
+                    "train/policy_loss": float(m.policy_loss),
+                    "train/value_loss": float(m.value_loss),
+                    "train/learning_rate": float(m.learning_rate),
+                    "train/steps": iteration,
+                }
                 if heartbeat is not None:
                     heartbeat.beat()
                 summary["iterations"] = iteration
                 if metrics is not None:
-                    metrics.scalars(
-                        {
-                            "train/loss": float(m.loss),
-                            "train/policy_loss": float(m.policy_loss),
-                            "train/value_loss": float(m.value_loss),
-                            "train/learning_rate": float(m.learning_rate),
-                            "train/steps": iteration,
-                        },
-                        iteration,
-                    )
+                    metrics.scalars(train_scalars, iteration)
 
                 cfreq = cfg.arena.checkpoint_frequency
                 if cfreq and iteration % cfreq == 0:
@@ -499,6 +504,7 @@ def run(cfg: Config, generations: Optional[int] = None) -> dict:
                         sharded.fetch(replay)
                         if cfg.loop.checkpoint_replay else None
                     )
+                    lr_now = float(learner.schedule(train_state.steps))
                     if coordinator:
                         # Async: disk IO off the training thread;
                         # serialized by the module lock, joined before
@@ -506,7 +512,7 @@ def run(cfg: Config, generations: Optional[int] = None) -> dict:
                         pending_save = save_checkpoint_async(
                             training_dir,
                             state_host,
-                            float(learner.schedule(train_state.steps)),
+                            lr_now,
                             replay_host,
                         )
                 efreq = cfg.arena.evaluation_frequency
@@ -518,12 +524,15 @@ def run(cfg: Config, generations: Optional[int] = None) -> dict:
                     )
                     score = float(jax.device_get(result.score))
                     promoted = bool(jax.device_get(result.promote))
+                    wins = int(result.wins)
+                    losses = int(result.losses)
+                    arena_draws = int(result.draws)
                     summary["last_arena_score"] = score
                     if coordinator:
                         print(
                             f"[iter {iteration}] arena score={score:.3f} "
-                            f"(+{int(result.wins)}/-{int(result.losses)}/="
-                            f"{int(result.draws)}) promoted={promoted}"
+                            f"(+{wins}/-{losses}/="
+                            f"{arena_draws}) promoted={promoted}"
                         )
                     if metrics is not None:
                         metrics.scalar(
@@ -561,13 +570,14 @@ def run(cfg: Config, generations: Optional[int] = None) -> dict:
                             params=best[0], batch_stats=best[1]
                         )
                     )
+                    lr_now = float(learner.schedule(train_state.steps))
                     if coordinator:
                         save_checkpoint(
                             paths.evaluation_iteration_path(
                                 results_dir, game, run_id, iteration
                             ),
                             winner_state,
-                            float(learner.schedule(train_state.steps)),
+                            lr_now,
                         )
                     if heartbeat is not None:
                         heartbeat.beat()
