@@ -103,3 +103,41 @@ def test_loop_arms_watchdog(monkeypatch):
         summary = L.run(cfg)
     assert summary["iterations"] >= 2
     assert len(beats) >= 2  # generation + train-iteration beats
+
+
+def test_supervisor_restarts_on_stall_code_only(tmp_path):
+    """The supervisor relaunches the loop only on STALL_EXIT_CODE, with
+    backoff, resuming training; other exits propagate unchanged."""
+    import sys
+
+    from custom_alphazero_tpu.runtime.supervisor import supervise
+    from custom_alphazero_tpu.runtime.watchdog import STALL_EXIT_CODE
+
+    # A child that exits 42 twice (simulated stalls), then 0.
+    counter = tmp_path / "count"
+    child = tmp_path / "child.py"
+    child.write_text(
+        "import pathlib, sys\n"
+        f"p = pathlib.Path({str(counter)!r})\n"
+        "n = int(p.read_text()) if p.exists() else 0\n"
+        "p.write_text(str(n + 1))\n"
+        f"sys.exit({STALL_EXIT_CODE} if n < 2 else 0)\n"
+    )
+    delays = []
+    rc = supervise([], max_restarts=5, backoff_s=1.0,
+                   cmd=[sys.executable, str(child)], sleep=delays.append)
+    assert rc == 0
+    assert counter.read_text() == "3"       # 2 stalls + 1 clean run
+    assert delays == [1.0, 2.0]             # linear backoff
+
+    # Non-stall failures propagate without restarts.
+    child.write_text("import sys; sys.exit(7)\n")
+    rc = supervise([], max_restarts=5, backoff_s=1.0,
+                   cmd=[sys.executable, str(child)], sleep=delays.append)
+    assert rc == 7
+
+    # Budget exhaustion returns the stall code.
+    child.write_text(f"import sys; sys.exit({STALL_EXIT_CODE})\n")
+    rc = supervise([], max_restarts=2, backoff_s=0.0,
+                   cmd=[sys.executable, str(child)], sleep=lambda _: None)
+    assert rc == STALL_EXIT_CODE
