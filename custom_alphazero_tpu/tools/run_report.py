@@ -1,0 +1,81 @@
+"""Summarize a run's metrics (the JSONL mirror of the TensorBoard scalars).
+
+Prints loss/LR trajectory, self-play throughput, and the arena/solver-score
+history with promotions — the at-a-glance view of a training run
+(reference: TensorBoard scalars, model/tensorflow/train.py:56-113).
+
+Run: python -m custom_alphazero_tpu.tools.run_report --run_id=strong-r2 \
+         [--results_dir=results] [--game=connect_n]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+from collections import defaultdict
+
+from custom_alphazero_tpu import paths
+
+
+def load(results_dir: str, game: str, run_id: str) -> dict:
+    path = os.path.join(
+        paths.tensorboard_path(results_dir, game, run_id), "metrics.jsonl"
+    )
+    by_tag = defaultdict(list)
+    with open(path) as fp:
+        for line in fp:
+            row = json.loads(line)
+            by_tag[row["tag"]].append((row["step"], row["value"]))
+    return dict(by_tag)
+
+
+def summarize(by_tag: dict) -> dict:
+    out = {}
+    loss = by_tag.get("train/loss", [])
+    if loss:
+        steps = [s for s, _ in loss]
+        values = [v for _, v in loss]
+        k = max(1, len(values) // 20)
+        out["steps"] = steps[-1]
+        out["loss_first"] = round(sum(values[:k]) / k, 4)
+        out["loss_last"] = round(sum(values[-k:]) / k, 4)
+        out["loss_min"] = round(min(values), 4)
+    sims = [v for _, v in by_tag.get("self_play/sims_per_second", [])]
+    if sims:
+        out["sims_per_s_median"] = int(sorted(sims)[len(sims) // 2])
+    games = [v for _, v in by_tag.get("self_play/games", [])]
+    if games:
+        out["generations"] = len(games)
+        out["games_total"] = int(sum(games))
+    samples = [v for _, v in by_tag.get("self_play/samples", [])]
+    if samples:
+        out["samples_total"] = int(sum(samples))
+    arena = by_tag.get("evaluation/winning_score", [])
+    if arena:
+        out["arenas"] = len(arena)
+        out["promotions"] = sum(1 for _, v in arena if v >= 0.55)
+        out["arena_history"] = [
+            (s, round(v, 3)) for s, v in arena
+        ]
+    solver = by_tag.get("evaluation/solver_score", [])
+    if solver:
+        out["solver_score_history"] = [(s, round(v, 3)) for s, v in solver]
+    return out
+
+
+def main(argv=None):
+    args = dict(a.split("=", 1) for a in (argv or sys.argv[1:]))
+    by_tag = load(
+        args.get("--results_dir", "results"),
+        args.get("--game", "connect_n"),
+        args["--run_id"],
+    )
+    report = summarize(by_tag)
+    for key, value in report.items():
+        print(f"{key}: {value}")
+    return report
+
+
+if __name__ == "__main__":
+    main()

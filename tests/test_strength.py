@@ -55,3 +55,35 @@ def test_score_arena_log_bounds():
     )
     score = score_arena_log(jax.device_get(result.log))
     assert 0.0 < score <= 1.0
+
+
+def test_run_report_summarizes_metrics(tmp_path):
+    import json
+    import os
+
+    from custom_alphazero_tpu import paths
+    from custom_alphazero_tpu.tools.run_report import load, summarize
+
+    tb = paths.tensorboard_path(str(tmp_path), "connect_n", "r")
+    os.makedirs(tb)
+    rows = (
+        [{"tag": "train/loss", "step": i, "value": 3.0 - i * 0.01,
+          "wall_time": 0} for i in range(1, 101)]
+        + [{"tag": "self_play/games", "step": 1, "value": 64, "wall_time": 0}]
+        + [{"tag": "self_play/samples", "step": 1, "value": 900, "wall_time": 0}]
+        + [{"tag": "evaluation/winning_score", "step": 50, "value": 0.6,
+            "wall_time": 0},
+           {"tag": "evaluation/winning_score", "step": 100, "value": 0.5,
+            "wall_time": 0}]
+        + [{"tag": "evaluation/solver_score", "step": 50, "value": 0.7,
+            "wall_time": 0}]
+    )
+    with open(os.path.join(tb, "metrics.jsonl"), "w") as fp:
+        for r in rows:
+            fp.write(json.dumps(r) + "\n")
+    report = summarize(load(str(tmp_path), "connect_n", "r"))
+    assert report["steps"] == 100
+    assert report["loss_first"] > report["loss_last"]
+    assert report["generations"] == 1 and report["games_total"] == 64
+    assert report["promotions"] == 1 and report["arenas"] == 2
+    assert report["solver_score_history"] == [(50, 0.7)]
