@@ -60,3 +60,28 @@ def test_chess_selfplay_end_to_end():
     assert jnp.all(pi >= 0)
     assert int(stats.games) == 2
     assert float(stats.mean_game_length) == max_plies
+
+
+def test_chess_gumbel_selfplay_smoke():
+    """Gumbel sequential halving composes with the 1968-action chess engine
+    (root candidates m << A; improved-policy targets well-formed)."""
+    env = envs.make("chess", ChessConfig())
+    cfg = MCTSConfig(simulations=8, use_gumbel=True, gumbel_max_considered=8)
+    sp = make_selfplay_fn(env, cfg, SelfPlayConfig(exclude_draws=False),
+                          max_plies=6, fused=False)
+
+    def uniform_eval(obs):
+        b = obs.shape[0]
+        return (jnp.ones((b, env.num_actions)) / env.num_actions,
+                jnp.zeros((b,)))
+
+    batch, stats = jax.jit(lambda k: sp(uniform_eval, k, 2))(
+        jax.random.PRNGKey(0)
+    )
+    valid = jax.device_get(batch.valid)
+    assert valid.sum() > 0
+    pi = jax.device_get(batch.policy)[valid]
+    import numpy as np
+
+    np.testing.assert_allclose(pi.sum(-1), 1.0, rtol=1e-4)
+    assert (pi >= 0).all()
