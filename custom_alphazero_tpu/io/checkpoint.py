@@ -136,12 +136,13 @@ def load_checkpoint(path: str, train_state_template, replay_template=None):
     return state, meta, replay
 
 
-def latest_evaluation_iteration(evaluation_dir: str) -> Optional[Tuple[int, str]]:
-    """Find the newest completed best-model lineage directory
-    ``iteration_N`` (reference utils.py:110-133)."""
+def list_evaluation_iterations(evaluation_dir: str) -> list:
+    """All completed best-model lineage directories ``iteration_N``,
+    ascending — the full promotion lineage (reference keeps the same layout
+    but only ever reads the newest, utils.py:110-133)."""
     if not os.path.isdir(evaluation_dir):
-        return None
-    best = None
+        return []
+    found = []
     for name in os.listdir(evaluation_dir):
         if not name.startswith("iteration_"):
             continue
@@ -150,6 +151,13 @@ def latest_evaluation_iteration(evaluation_dir: str) -> Optional[Tuple[int, str]
         except ValueError:
             continue
         path = os.path.join(evaluation_dir, name)
-        if checkpoint_exists(path) and (best is None or num > best[0]):
-            best = (num, path)
-    return best
+        if checkpoint_exists(path):
+            found.append((num, path))
+    return sorted(found)
+
+
+def latest_evaluation_iteration(evaluation_dir: str) -> Optional[Tuple[int, str]]:
+    """Find the newest completed best-model lineage directory
+    ``iteration_N`` (reference utils.py:110-133)."""
+    lineage = list_evaluation_iterations(evaluation_dir)
+    return lineage[-1] if lineage else None
