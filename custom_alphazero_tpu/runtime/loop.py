@@ -379,6 +379,13 @@ def run(cfg: Config, generations: Optional[int] = None) -> dict:
     pending_save = None
     best_updated = False
 
+    from custom_alphazero_tpu.runtime.watchdog import touch_liveness_file
+
+    # First touch proves the process got past the interpreter-start
+    # device-claim hook (the phase the in-process watchdog can never
+    # cover — runtime/supervisor.py liveness monitor).
+    touch_liveness_file()
+
     heartbeat = None
     watchdog = None
     if cfg.run.watchdog_minutes > 0:
@@ -418,6 +425,7 @@ def run(cfg: Config, generations: Optional[int] = None) -> dict:
         plies = int(stats.plies)
         replay_total = int(jax.device_get(replay.size.sum()))
         gen_time = time.time() - gen_start
+        touch_liveness_file()
         if heartbeat is not None:
             heartbeat.beat()
             _armed()
@@ -446,6 +454,7 @@ def run(cfg: Config, generations: Optional[int] = None) -> dict:
                             results_dir, game, run_id,
                             updated=best_updated)
             best_updated = False
+            touch_liveness_file()
             if heartbeat is not None:
                 heartbeat.beat()
         sims = plies * cfg.mcts.simulations
@@ -488,6 +497,7 @@ def run(cfg: Config, generations: Optional[int] = None) -> dict:
                     "train/learning_rate": float(m.learning_rate),
                     "train/steps": iteration,
                 }
+                touch_liveness_file()
                 if heartbeat is not None:
                     heartbeat.beat()
                 summary["iterations"] = iteration
@@ -579,6 +589,7 @@ def run(cfg: Config, generations: Optional[int] = None) -> dict:
                             winner_state,
                             lr_now,
                         )
+                    touch_liveness_file()
                     if heartbeat is not None:
                         heartbeat.beat()
         generation += 1

@@ -25,6 +25,22 @@ from typing import Callable, Optional
 
 STALL_EXIT_CODE = 42
 
+# Set by the supervisor: a file the loop touches at entry and on every
+# heartbeat so liveness is observable from OUTSIDE the process — the only
+# detector that can cover a wedge happening before the loop's first line
+# (the device-claim hook runs at interpreter start; runtime/supervisor.py).
+HEARTBEAT_ENV = "CAZ_HEARTBEAT_FILE"
+
+
+def touch_liveness_file() -> None:
+    """Touch the supervisor's heartbeat file, if one was provided."""
+    path = os.environ.get(HEARTBEAT_ENV)
+    if path:
+        try:
+            os.utime(path, None)
+        except OSError:
+            pass
+
 
 class Heartbeat:
     """Tracks liveness: ``beat()`` on progress, ``stalled()`` to check."""

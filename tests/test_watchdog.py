@@ -141,3 +141,92 @@ def test_supervisor_restarts_on_stall_code_only(tmp_path):
     rc = supervise([], max_restarts=2, backoff_s=0.0,
                    cmd=[sys.executable, str(child)], sleep=lambda _: None)
     assert rc == STALL_EXIT_CODE
+
+
+def test_supervisor_liveness_kills_prestart_wedge(tmp_path, monkeypatch):
+    """A child wedged BEFORE its first line of loop code (device-claim
+    hook at interpreter start) never touches the heartbeat file; the
+    supervisor's liveness monitor must SIGKILL it and restart."""
+    import sys
+
+    from custom_alphazero_tpu.runtime.supervisor import supervise
+
+    # Hermetic children: the platform's sitecustomize device-claim hook
+    # must not run inside the test's subprocesses.
+    monkeypatch.delenv("PALLAS_AXON_POOL_IPS", raising=False)
+
+    counter = tmp_path / "count"
+    child = tmp_path / "child.py"
+    # First launch: wedge forever without ever beating. Second: exit 0.
+    child.write_text(
+        "import pathlib, time, sys\n"
+        f"p = pathlib.Path({str(counter)!r})\n"
+        "n = int(p.read_text()) if p.exists() else 0\n"
+        "p.write_text(str(n + 1))\n"
+        "if n == 0:\n"
+        "    time.sleep(600)\n"
+        "sys.exit(0)\n"
+    )
+    rc = supervise(
+        [], max_restarts=3, backoff_s=0.0,
+        cmd=[sys.executable, str(child)],
+        sleep=lambda _: None,
+        liveness_timeout_minutes=2 / 60.0,  # 2 s
+        poll_s=0.2,
+    )
+    assert rc == 0
+    assert counter.read_text() == "2"  # one killed wedge + one clean run
+
+
+def test_supervisor_liveness_spares_beating_child(tmp_path, monkeypatch):
+    """A slow child that touches its heartbeat file is NOT killed even
+    when it runs far longer than the liveness timeout."""
+    import sys
+
+    from custom_alphazero_tpu.runtime.supervisor import supervise
+    from custom_alphazero_tpu.runtime.watchdog import HEARTBEAT_ENV
+
+    monkeypatch.delenv("PALLAS_AXON_POOL_IPS", raising=False)
+    child = tmp_path / "child.py"
+    child.write_text(
+        "import os, time, sys\n"
+        f"hb = os.environ[{HEARTBEAT_ENV!r}]\n"
+        "for _ in range(10):\n"
+        "    time.sleep(0.3)\n"
+        "    os.utime(hb, None)\n"
+        "sys.exit(0)\n"
+    )
+    rc = supervise(
+        [], max_restarts=0, backoff_s=0.0,
+        cmd=[sys.executable, str(child)],
+        sleep=lambda _: None,
+        liveness_timeout_minutes=2 / 60.0,  # 2 s; child runs ~3 s total
+        poll_s=0.2,
+    )
+    assert rc == 0
+
+
+def test_touch_liveness_file(tmp_path, monkeypatch):
+    """The loop-side helper touches the supervisor's file when the env is
+    set and is a no-op (no crash) otherwise."""
+    import os
+    import time
+
+    from custom_alphazero_tpu.runtime.watchdog import (
+        HEARTBEAT_ENV,
+        touch_liveness_file,
+    )
+
+    monkeypatch.delenv(HEARTBEAT_ENV, raising=False)
+    touch_liveness_file()  # no env: no-op
+
+    hb = tmp_path / "hb"
+    hb.write_text("")
+    old = time.time() - 100
+    os.utime(hb, (old, old))
+    monkeypatch.setenv(HEARTBEAT_ENV, str(hb))
+    touch_liveness_file()
+    assert time.time() - hb.stat().st_mtime < 5
+
+    monkeypatch.setenv(HEARTBEAT_ENV, str(tmp_path / "missing"))
+    touch_liveness_file()  # missing file: swallowed
