@@ -61,6 +61,27 @@ def summarize(by_tag: dict) -> dict:
     solver = by_tag.get("evaluation/solver_score", [])
     if solver:
         out["solver_score_history"] = [(s, round(v, 3)) for s, v in solver]
+    if arena:
+        out["elo_history"] = elo_history(arena)
+        if out["elo_history"]:
+            out["elo_gain"] = out["elo_history"][-1][1]
+    return out
+
+
+def elo_history(arena, gate: float = 0.55, cap: float = 0.99):
+    """Cumulative Elo gain of the best-model lineage, from the arena
+    winning scores (logistic model: a promotion at score s is a
+    400*log10(s/(1-s)) rating step over the previous best; non-promoted
+    arenas add nothing because the incumbent stays). Scores are clipped
+    to ``cap`` so a clean sweep contributes a finite step."""
+    import math
+
+    total, out = 0.0, []
+    for step, score in arena:
+        if score >= gate:
+            s = min(max(score, 1.0 - cap), cap)
+            total += 400.0 * math.log10(s / (1.0 - s))
+            out.append((step, round(total, 1)))
     return out
 
 

@@ -38,3 +38,16 @@ def test_run_report_summary(tmp_path):
     assert report["arenas"] == 2
     assert report["promotions"] == 1  # only the 0.60 arena clears 0.55
     assert report["solver_score_history"] == [(50, 0.71)]
+    # Elo: one promotion at 0.60 -> 400*log10(0.6/0.4) ~ +70.4; the
+    # non-promoted 0.50 arena adds nothing.
+    assert report["elo_history"] == [(50, 70.4)]
+    assert report["elo_gain"] == 70.4
+
+
+def test_elo_history_caps_sweeps():
+    from custom_alphazero_tpu.tools.run_report import elo_history
+
+    hist = elo_history([(10, 1.0), (20, 0.55)])
+    assert len(hist) == 2
+    assert hist[0][1] < 800          # clean sweep clipped, finite
+    assert hist[1][1] > hist[0][1]   # cumulative
