@@ -49,8 +49,8 @@ from custom_alphazero_tpu.runtime.watchdog import (
 )
 
 
-def _run_child(cmd, liveness_timeout_s: Optional[float], poll_s: float,
-               sleep) -> int:
+def _run_child(cmd, liveness_timeout_s: Optional[float],
+               poll_s: float) -> int:
     """Spawn one child; return its exit code. With a liveness timeout,
     monitor the heartbeat file and SIGKILL (reported as STALL_EXIT_CODE)
     when it goes stale."""
@@ -108,7 +108,6 @@ def supervise(
             base + list(loop_args),
             liveness_timeout_minutes * 60.0 or None,
             poll_s,
-            sleep,
         )
         if code != STALL_EXIT_CODE:
             return code
