@@ -67,7 +67,13 @@ def _run_child(cmd, liveness_timeout_s: Optional[float],
                 return code
             except subprocess.TimeoutExpired:
                 pass
-            age = time.time() - os.stat(hb_path).st_mtime
+            try:
+                age = time.time() - os.stat(hb_path).st_mtime
+            except OSError:
+                # Heartbeat file vanished (external cleanup): recreate it
+                # rather than crash the monitor; the age clock restarts.
+                open(hb_path, "w").close()
+                age = 0.0
             if age > liveness_timeout_s:
                 print(
                     f"[supervisor] child heartbeat stale for {age:.0f}s "
