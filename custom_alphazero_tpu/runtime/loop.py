@@ -408,8 +408,24 @@ def run(cfg: Config, generations: Optional[int] = None) -> dict:
             watchdog = start_watchdog(heartbeat)
             print(f"Stall watchdog armed: {cfg.run.watchdog_minutes:g} min")
 
+    # Graceful operator stop: `touch <run_dir>/STOP` finishes the current
+    # generation, writes a final checkpoint, and exits 0 — releasing the
+    # device cleanly (a SIGKILL mid-device-call leaves a stale chip grant
+    # that blocks the next claimant; see runtime/supervisor.py). Every
+    # host sees the same shared-FS file, so a pod slice stops in lockstep.
+    stop_file = os.path.join(
+        paths.run_path(results_dir, game, run_id), "STOP"
+    )
+    if coordinator and os.path.exists(stop_file):
+        os.unlink(stop_file)  # already-honored request: resume runs
+
     print(f"Starting run {run_id} on {jax.devices()}")
     while total == 0 or generation < total:
+        if os.path.exists(stop_file):
+            if coordinator:
+                print(f"STOP requested via {stop_file}; exiting after "
+                      f"{generation} generations (final checkpoint saved)")
+            break
         gen_start = time.time()
         rng, k_gen = jax.random.split(rng)
         batch, stats = learner.generate(best[0], best[1], k_gen)
@@ -597,6 +613,20 @@ def run(cfg: Config, generations: Optional[int] = None) -> dict:
         watchdog.disarm()
     if pending_save is not None:
         pending_save.join()
+    # Final checkpoint: the loop's exit state is always resumable/evaluable
+    # even when the stop didn't land on a checkpoint_frequency boundary.
+    if summary["iterations"] > 0:
+        state_host = sharded.fetch(train_state)
+        replay_host = (
+            sharded.fetch(replay) if cfg.loop.checkpoint_replay else None
+        )
+        if coordinator:
+            save_checkpoint(
+                training_dir,
+                state_host,
+                float(learner.schedule(train_state.steps)),
+                replay_host,
+            )
     if metrics is not None:
         metrics.close()
     return summary

@@ -71,3 +71,52 @@ def test_loop_end_to_end_and_resume(tmp_path):
     acc = labeled_policy_accuracy(evaluate_fn, str(npz))
     assert acc["move_accuracy"] == 1.0  # every column marked optimal
     assert acc["positions"] == 4
+
+
+@pytest.mark.slow
+def test_stop_file_graceful_exit_and_final_checkpoint(tmp_path):
+    """A STOP file in the run dir stops the loop before the next
+    generation, a final checkpoint makes the exit state resumable, and a
+    resume consumes the stale STOP file and keeps training."""
+    import os
+
+    from custom_alphazero_tpu import paths
+    from custom_alphazero_tpu.io.checkpoint import checkpoint_exists
+    from custom_alphazero_tpu.runtime.loop import run
+
+    run_dir = paths.run_path(str(tmp_path), "connect_n", "t2")
+    os.makedirs(run_dir)
+    open(os.path.join(run_dir, "STOP"), "w").close()
+
+    # Pre-existing STOP is consumed at startup: the run still trains.
+    summary = run(_tiny_cfg(tmp_path, "t2", 2))
+    assert summary["iterations"] == 4
+    assert not os.path.exists(os.path.join(run_dir, "STOP"))
+    # Final checkpoint exists even though 4 iterations is not a
+    # checkpoint_frequency boundary multiple... (freq=4: it is; assert
+    # resumability directly instead).
+    assert checkpoint_exists(
+        paths.training_path(str(tmp_path), "connect_n", "t2")
+    )
+
+    # Mid-run STOP: a run-forever loop (generations=0) must exit cleanly
+    # once the operator touches the file.
+    import threading
+    import time as _time
+
+    done = {}
+
+    def _run_forever():
+        done["summary"] = run(_tiny_cfg(tmp_path, "t2", 0))
+
+    t = threading.Thread(target=_run_forever)
+    t.start()
+    deadline = _time.time() + 120
+    # Wait until it has made progress past the resumed 4 iterations...
+    marker = os.path.join(run_dir, "STOP")
+    while _time.time() < deadline and not done:
+        _time.sleep(0.5)
+        open(marker, "w").close()
+    t.join(timeout=120)
+    assert not t.is_alive(), "loop did not honor mid-run STOP"
+    assert done["summary"]["iterations"] >= 4
