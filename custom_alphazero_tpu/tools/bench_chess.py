@@ -25,10 +25,11 @@ SIMS = 64  # default; override with --sims=
 NET = ModelConfig(depth=4, filters=128, value_hidden=256)
 
 
-def measure(batch_size: int, use_net: bool = True, sims: int = None):
+def measure(batch_size: int, use_net: bool = True, sims: int = None,
+            topk: int = 0):
     SIMS = sims or globals()["SIMS"]
     env = Chess(ChessConfig())
-    cfg = MCTSConfig(simulations=SIMS)
+    cfg = MCTSConfig(simulations=SIMS, topk_actions=topk)
     mcts = MCTS(env, cfg)
     if use_net:
         net = PolicyValueNet(env.num_actions, NET)
@@ -73,18 +74,26 @@ if __name__ == "__main__":
 
     sizes = []
     sims = None
+    topk = 0
     for a in sys.argv[1:]:
         if a.startswith("--sims="):
             sims = int(a.split("=", 1)[1])
             continue
+        if a.startswith("--topk="):
+            # Per-node stored prior width (mcts.topk_actions). At high
+            # simulation budgets the auto width (= sims) trips an XLA TPU
+            # fusion-emitter CHECK on this toolchain; an explicit 128-256
+            # is the production-sane setting for chess anyway.
+            topk = int(a.split("=", 1)[1])
+            continue
         if not a.isdigit() or int(a) < 1:
             raise SystemExit(
                 f"bad batch size {a!r}\nusage: bench_chess [--sims=N] "
-                "[B1 B2 ...] (positive ints; default 64 256 1024)"
+                "[--topk=K] [B1 B2 ...] (positive ints; default 64 256 1024)"
             )
         sizes.append(int(a))
     sizes = sizes or [64, 256, 1024]
     for b in sizes:
-        measure(b, use_net=True, sims=sims)
+        measure(b, use_net=True, sims=sims, topk=topk)
     for b in sizes[-2:]:
-        measure(b, use_net=False, sims=sims)
+        measure(b, use_net=False, sims=sims, topk=topk)
