@@ -154,6 +154,20 @@ class _AttackTables:
         self.ray = _read(_G_RAY, ff)         # (64, 8, 7)
 
 
+def _count_before(occ):
+    """Exclusive prefix-count along the ray axis: how many occupied squares
+    lie strictly nearer on the same ray. Deliberately NOT ``jnp.cumsum``:
+    on TPU a cumsum over this tiny axis lowers to an overlapping
+    reduce-window, which the XLA fusion emitter rejects once it is fused
+    into the large high-simulation chess search programs
+    (``fusion_emitter.cc: window_bounds[i] == strides[i]`` CHECK at
+    ``--sims>=512``, see PARITY.md). A strict-lower-triangular contraction
+    produces the same counts and fuses cleanly."""
+    n = occ.shape[-1]
+    tri = (jnp.arange(n)[:, None] < jnp.arange(n)[None, :]).astype(jnp.int32)
+    return jnp.einsum("...i,ij->...j", occ.astype(jnp.int32), tri)
+
+
 def _attack_query(kn, kg, pw, ray_vals, ray_sqs):
     """Attacked? from per-query values: kn (..., 8), kg (..., 8),
     pw (..., 2), ray_vals (..., 8, 7) with ray_sqs (..., 8, 7) square ids
@@ -163,9 +177,7 @@ def _attack_query(kn, kg, pw, ray_vals, ray_sqs):
     pawns = jnp.any(pw == -T.PAWN, axis=-1)
     on_board = ray_sqs >= 0
     occupied = (ray_vals != 0) & on_board
-    before = jnp.cumsum(occupied.astype(jnp.int32), axis=-1) - occupied.astype(
-        jnp.int32
-    )
+    before = _count_before(occupied)
     first_hit = occupied & (before == 0)
     slider = jnp.where(
         _DIAG_COL,
@@ -286,9 +298,8 @@ def _legal_mask(flat: jnp.ndarray, castling, ep_file):
 
     on = ray_s >= 0
     occ = (ray_v != 0) & on
-    before = jnp.cumsum(occ.astype(jnp.int32), axis=-1) - occ.astype(
-        jnp.int32
-    )  # occupied squares strictly nearer the king on the same ray
+    # occupied squares strictly nearer the king on the same ray
+    before = _count_before(occ)
     first = occ & (before == 0)
     slider_kind = jnp.where(
         _DIAG_COL,
@@ -366,7 +377,7 @@ def _legal_mask(flat: jnp.ndarray, castling, ep_file):
         rv = jnp.where((ray_s == frm_sq) | (ray_s == cap_sq), 0.0, rv)
         rv = jnp.where(ray_s == ep_target, float(T.PAWN), rv)
         occ2 = (rv != 0) & on
-        bef2 = jnp.cumsum(occ2.astype(jnp.int32), -1) - occ2.astype(jnp.int32)
+        bef2 = _count_before(occ2)
         sl2 = jnp.where(
             _DIAG_COL,
             (rv == -T.BISHOP) | (rv == -T.QUEEN),
