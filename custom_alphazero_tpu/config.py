@@ -72,7 +72,8 @@ class MCTSConfig:
     # (evaluation/evaluate.py:63-84 rebuilds the tree each move).
     reuse_tree: bool = False
     # Per-node stored prior width for large action spaces: 0 = auto
-    # (min(simulations, A) — exact, see search/mcts.py), -1 = full width,
+    # (min(simulations, A), clamped to 256 when the action space is large
+    # — see search/mcts.py MCTS.AUTO_TOPK_CLAMP), -1 = full width,
     # > 0 = explicit top-K.
     topk_actions: int = 0
     # Gumbel sequential-halving root search (search/gumbel.py) — a
@@ -201,6 +202,18 @@ class RunConfig:
     # tunnels/host hangs — a failure mode the reference has no answer to
     # (SURVEY.md §5 failure detection). 0 disables.
     watchdog_minutes: float = 0.0
+    # Supervisor-liveness compile grace: for up to this many minutes after
+    # loop entry a daemon thread keeps the supervisor's heartbeat file
+    # fresh, covering generation-0 trace+compile (minutes at chess scale —
+    # PARITY.md documents >7-14 min compiles) and the first arena compile.
+    # Without it a supervisor with liveness_timeout_minutes=4 would kill a
+    # healthy chess-scale child mid-compile, restart, recompile, and kill
+    # again until the restart budget exhausts (ADVICE r2). The thread
+    # stops as soon as the first generation completes (steady-state wedge
+    # detection is then the in-process watchdog's job) or when the grace
+    # budget runs out — so a genuine pre-steady-state wedge is still
+    # caught, just later. 0 disables (pre-round-3 behavior).
+    compile_grace_minutes: float = 30.0
 
 
 @dataclass(frozen=True)
@@ -260,6 +273,13 @@ def validate(config: Config) -> Config:
             f"{s.simulations}: the tree needs one slot per simulation "
             "(set max_nodes=0 for auto)"
         )
+    if s.topk_actions < -1:
+        raise ValueError(
+            f"mcts.topk_actions={s.topk_actions}: use 0 (auto), -1 (full "
+            "width) or an explicit positive top-K prior width"
+        )
+    if s.simulations < 1:
+        raise ValueError(f"mcts.simulations={s.simulations} must be >= 1")
     return config
 
 

@@ -61,6 +61,41 @@ def is_coordinator() -> bool:
     return jax.process_index() == 0
 
 
+def broadcast_flag(value: bool) -> bool:
+    """The coordinator's boolean, agreed on every host via a device psum.
+
+    Use for host-divergent decisions that must not split the SPMD program
+    across hosts — e.g. the STOP-file check (runtime/loop.py): a plain
+    per-host ``os.path.exists`` can observe the file on some hosts and not
+    others within the same generation boundary, leaving part of the pod
+    inside the next generation's collectives (a distributed hang). Here
+    every host contributes the flag only for the coordinator's devices, the
+    sum is reduced on-device, and every host reads the same scalar.
+    Single-host: identity."""
+    if jax.process_count() == 1:
+        return bool(value)
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    devices = np.asarray(jax.devices())
+    mesh = Mesh(devices, ("all",))
+    # device_put of a host-local array to a global sharding fills only this
+    # host's addressable shards from it, so non-coordinator hosts' slots
+    # carry 0 regardless of their local flag value.
+    local = jnp.full(
+        (len(devices),),
+        float(bool(value)) if is_coordinator() else 0.0,
+        jnp.float32,
+    )
+    arr = jax.device_put(local, NamedSharding(mesh, P("all")))
+    total = jax.jit(lambda x: x.sum(), out_shardings=NamedSharding(mesh, P()))(
+        arr
+    )
+    return bool(int(total) > 0)
+
+
 def sync_hosts(name: str = "barrier") -> None:
     """Cross-host barrier via a tiny global psum (safe under SPMD)."""
     if jax.process_count() == 1:

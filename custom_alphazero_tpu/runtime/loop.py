@@ -379,12 +379,24 @@ def run(cfg: Config, generations: Optional[int] = None) -> dict:
     pending_save = None
     best_updated = False
 
-    from custom_alphazero_tpu.runtime.watchdog import touch_liveness_file
+    from custom_alphazero_tpu.runtime.watchdog import (
+        CompileGraceToucher,
+        touch_liveness_file,
+    )
 
     # First touch proves the process got past the interpreter-start
     # device-claim hook (the phase the in-process watchdog can never
     # cover — runtime/supervisor.py liveness monitor).
     touch_liveness_file()
+    # Keep the liveness file fresh through generation-0 compiles (minutes
+    # at chess scale) so the supervisor doesn't kill a healthy child
+    # mid-compile; bounded by run.compile_grace_minutes and stopped the
+    # moment the first generation completes (ADVICE r2).
+    grace = None
+    if cfg.run.compile_grace_minutes > 0:
+        grace = CompileGraceToucher(cfg.run.compile_grace_minutes * 60.0)
+    arena_grace = None
+    first_arena = True
 
     heartbeat = None
     watchdog = None
@@ -408,6 +420,15 @@ def run(cfg: Config, generations: Optional[int] = None) -> dict:
             watchdog = start_watchdog(heartbeat)
             print(f"Stall watchdog armed: {cfg.run.watchdog_minutes:g} min")
 
+    def _steady_state():
+        # First generation complete: compile grace ends, liveness now
+        # tracks real progress only.
+        nonlocal grace
+        if grace is not None:
+            grace.stop()
+            grace = None
+        _armed()
+
     # Graceful operator stop: `touch <run_dir>/STOP` finishes the current
     # generation, writes a final checkpoint, and exits 0 — releasing the
     # device cleanly (a SIGKILL mid-device-call leaves a stale chip grant
@@ -421,7 +442,14 @@ def run(cfg: Config, generations: Optional[int] = None) -> dict:
 
     print(f"Starting run {run_id} on {jax.devices()}")
     while total == 0 or generation < total:
-        if os.path.exists(stop_file):
+        # Only the coordinator reads the STOP file; the boolean is agreed
+        # across hosts through a device collective so every host exits at
+        # the same generation boundary. A per-host os.path.exists could
+        # observe the file on some hosts and not others, leaving part of
+        # the pod inside learner.generate's collectives (ADVICE r2).
+        if distributed.broadcast_flag(
+            coordinator and os.path.exists(stop_file)
+        ):
             if coordinator:
                 print(f"STOP requested via {stop_file}; exiting after "
                       f"{generation} generations (final checkpoint saved)")
@@ -444,7 +472,7 @@ def run(cfg: Config, generations: Optional[int] = None) -> dict:
         touch_liveness_file()
         if heartbeat is not None:
             heartbeat.beat()
-            _armed()
+        _steady_state()
 
         freq = cfg.loop.samples_checkpoint_frequency
         if freq and (generation + 1) % freq == 0:
@@ -543,6 +571,14 @@ def run(cfg: Config, generations: Optional[int] = None) -> dict:
                         )
                 efreq = cfg.arena.evaluation_frequency
                 if efreq and iteration % efreq == 0:
+                    if first_arena and cfg.run.compile_grace_minutes > 0:
+                        # The first arena evaluation compiles too (minutes
+                        # at chess scale) — give it its own bounded
+                        # liveness grace so the supervisor doesn't kill a
+                        # healthy child mid-compile (ADVICE r2).
+                        arena_grace = CompileGraceToucher(
+                            cfg.run.compile_grace_minutes * 60.0
+                        )
                     rng, k_arena = jax.random.split(rng)
                     result = learner.run_arena(
                         train_state.params, train_state.batch_stats,
@@ -608,9 +644,17 @@ def run(cfg: Config, generations: Optional[int] = None) -> dict:
                     touch_liveness_file()
                     if heartbeat is not None:
                         heartbeat.beat()
+                    if arena_grace is not None:
+                        arena_grace.stop()
+                        arena_grace = None
+                    first_arena = False
         generation += 1
     if watchdog is not None:
         watchdog.disarm()
+    if grace is not None:
+        grace.stop()
+    if arena_grace is not None:
+        arena_grace.stop()
     if pending_save is not None:
         pending_save.join()
     # Final checkpoint: the loop's exit state is always resumable/evaluable

@@ -42,6 +42,39 @@ def touch_liveness_file() -> None:
             pass
 
 
+class CompileGraceToucher:
+    """Daemon thread that keeps the supervisor's liveness file fresh while
+    the loop is still in its pre-steady-state compile phases (generation 0
+    traces + compiles for minutes at chess scale; the first arena compiles
+    too). Bounded: stops at ``stop()`` (first generation complete) or after
+    ``grace_s`` seconds, whichever comes first — so a genuine wedge before
+    steady state is still detected by the supervisor once the grace budget
+    runs out. See config.RunConfig.compile_grace_minutes (ADVICE r2).
+    ``touch`` / ``clock`` are injectable for tests."""
+
+    def __init__(self, grace_s: float, interval_s: float = 30.0,
+                 touch: Callable[[], None] = touch_liveness_file,
+                 clock: Callable[[], float] = time.monotonic):
+        self._stop = threading.Event()
+        self._deadline = clock() + grace_s
+        self._clock = clock
+        self._touch = touch
+        self._interval = interval_s
+        self.thread = threading.Thread(
+            target=self._run, name="compile-grace-toucher", daemon=True
+        )
+        self.thread.start()
+
+    def stop(self) -> None:
+        self._stop.set()
+
+    def _run(self):
+        while not self._stop.wait(self._interval):
+            if self._clock() >= self._deadline:
+                return
+            self._touch()
+
+
 class Heartbeat:
     """Tracks liveness: ``beat()`` on progress, ``stalled()`` to check."""
 

@@ -184,17 +184,33 @@ class MCTS:
 
     # -- tree construction -------------------------------------------------
 
+    # Auto top-K clamp for large action spaces: above this width the
+    # (B, N, K) per-wave tensors stop paying for themselves — at chess
+    # scale an unclamped auto K = sims (e.g. 800) materializes (B, 800,
+    # 800) score tensors per wave, which is both the slow configuration
+    # and the one that stressed this toolchain's fusion emitter
+    # (PARITY.md, round 2). 256 keeps searches of <= 256 simulations
+    # bit-exact and is the production-sane width beyond that: a node's
+    # children beyond its top-255 priors are essentially never selected
+    # by PUCT at these budgets. Explicit cfg.topk_actions (or -1 for
+    # full width) overrides the clamp.
+    AUTO_TOPK_CLAMP = 256
+
     def prior_width(self, simulations: int) -> int:
         """K of the stored per-node prior rows: the full action space, or
         min(simulations, A) under top-K compression (see module docstring).
-        cfg.topk_actions: 0 = auto, -1 = force full width, > 0 = explicit
-        (exact as long as it is >= min(simulations, A))."""
+        cfg.topk_actions: 0 = auto (clamped to AUTO_TOPK_CLAMP for large
+        action spaces), -1 = force full width, > 0 = explicit (exact as
+        long as it is >= min(simulations, A))."""
         a = self.env.num_actions
         if self.cfg.topk_actions < 0:
             return a
         if self.cfg.topk_actions > 0:
             return min(self.cfg.topk_actions, a)
-        return min(simulations, a)
+        k = min(simulations, a)
+        if a > 2 * self.AUTO_TOPK_CLAMP:
+            k = min(k, self.AUTO_TOPK_CLAMP)
+        return k
 
     def init_tree(self, root_state, num_nodes: int,
                   prior_width: Optional[int] = None) -> Tree:

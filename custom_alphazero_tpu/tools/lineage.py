@@ -45,6 +45,7 @@ from custom_alphazero_tpu.tools.strength import (
 def lineage_report(
     run_id: str,
     results_dir: str = "results",
+    game: str = "connect_n",
     labels: str | None = None,
     probe_games: int = 0,
     sims: int | None = None,
@@ -55,10 +56,21 @@ def lineage_report(
 
     ``include_random_init`` prepends a random-initialization row (the
     baseline any promotion must beat)."""
-    run_dir = paths.run_path(results_dir, "connect_n", run_id)
+    run_dir = paths.run_path(results_dir, game, run_id)
     with open(os.path.join(run_dir, paths.CONFIG_FILE)) as fp:
         cfg = from_json(fp.read())
-    env = ConnectN(cfg.connect_n)
+    if game == "chess":
+        if probe_games > 0:
+            raise SystemExit(
+                "--probe_games uses the Connect-4 exact-solver oracle; "
+                "for chess lineages use --labels (e.g. a tactics set from "
+                "tools/chess_tactics.py) or tools/chess_strength.py"
+            )
+        from custom_alphazero_tpu.envs.chess.engine import Chess
+
+        env = Chess(cfg.chess)
+    else:
+        env = ConnectN(cfg.connect_n)
     net = PolicyValueNet(env.num_actions, cfg.model)
     template = init_train_state(
         net, cfg.model, jax.random.PRNGKey(0), env.obs_shape
@@ -66,7 +78,7 @@ def lineage_report(
     evaluate = make_evaluate_fn(net)
     sims = sims if sims is not None else cfg.mcts.simulations
     lineage = list_evaluation_iterations(
-        paths.evaluation_path(results_dir, "connect_n", run_id)
+        paths.evaluation_path(results_dir, game, run_id)
     )
 
     def score(state, iteration, steps):
@@ -118,10 +130,13 @@ def format_table(report: dict) -> str:
 
 
 def main(argv=None):
-    args = dict(a.split("=", 1) for a in (argv or sys.argv[1:]))
+    from custom_alphazero_tpu.tools.cli import parse_kv_args
+
+    args = parse_kv_args(argv or sys.argv[1:], __doc__)
     report = lineage_report(
         args["--run_id"],
         results_dir=args.get("--results_dir", "results"),
+        game=args.get("--game", "connect_n"),
         labels=args.get("--labels"),
         probe_games=int(args.get("--probe_games", 0)),
         sims=int(args["--sims"]) if "--sims" in args else None,

