@@ -75,6 +75,22 @@ _RAY = jnp.asarray(T.RAY)
 _KNIGHT_T = jnp.asarray(T.KNIGHT_TARGETS)
 _KING_T = jnp.asarray(T.KING_TARGETS)
 _OPP_PAWN_FROM = jnp.asarray(T.OPP_PAWN_FROM)
+# Rank flip as a constant anti-identity contraction. ``x[::-1]`` lowers to
+# an HLO ``reverse``, which this toolchain's TPU fusion emitter cannot
+# transform windowed fusion inputs through — at chess search scale the
+# compile dies in ReverseInput::TransformWindow (fusion_emitter.cc:4273
+# CHECK, window 8 / stride 1) after minutes of pathological compile time
+# (PARITY.md round 3). A constant 8x8 permutation dot is fusion-safe and
+# MXU-trivial; values stay exact (small integers in f32).
+_FLIP8 = jnp.asarray(np.eye(8, dtype=np.float32)[::-1])
+
+
+def _flip_ranks(x: jnp.ndarray) -> jnp.ndarray:
+    """Reverse axis -2 (ranks) of a (..., 8, 8) board stack, dtype kept."""
+    flipped = jnp.einsum("rk,...kf->...rf", _FLIP8, x.astype(jnp.float32))
+    return flipped.astype(x.dtype)
+
+
 _ZOBRIST = jnp.asarray(T.ZOBRIST)
 _ZOBRIST_CASTLE = jnp.asarray(T.ZOBRIST_CASTLE)
 _ZOBRIST_EP = jnp.asarray(T.ZOBRIST_EP)
@@ -648,8 +664,9 @@ class Chess(core.Env):
         opp_k = state.castling[2] & ~(info["to"] == T.H8)
         opp_q = state.castling[3] & ~(info["to"] == T.A8)
 
-        # Mirror to the next player's canonical perspective.
-        new_board = -new_flat.reshape(8, 8)[::-1]
+        # Mirror to the next player's canonical perspective (fusion-safe
+        # rank flip — see _flip_ranks).
+        new_board = -_flip_ranks(new_flat.reshape(8, 8))
         castling = jnp.stack([opp_k, opp_q, own_k, own_q])
         ep_file = info["new_ep_file"].astype(jnp.int32)
         halfmove = jnp.where(
@@ -766,7 +783,7 @@ class Chess(core.Env):
         # All 8 history plies re-oriented and one-hotted in one fused pass
         # (odd entries are stored from the opponent's perspective).
         odd = (jnp.arange(HISTORY) % 2 == 1)[:, None, None]
-        aligned = jnp.where(odd, -state.history[:, ::-1], state.history)
+        aligned = jnp.where(odd, -_flip_ranks(state.history), state.history)
         onehot = jax.nn.one_hot(
             aligned.astype(jnp.int32) + 6, 13, dtype=jnp.float32
         )  # (H, 8, 8, 13): [-6..6] -> [0..12]

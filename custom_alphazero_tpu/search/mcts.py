@@ -619,7 +619,18 @@ class MCTS:
                 a0 = jnp.argmax(legal, axis=-1)  # lowest legal index
                 a0_oh = (jnp.arange(a)[None, :] == a0[:, None])
                 boosted = renormed + a0_oh.astype(jnp.float32) * 2.0
-                top_vals, top_acts = jax.lax.top_k(boosted, k)
+                # optimization_barrier: keep the sort OUT of the
+                # surrounding loop-body fusion. Fused, the TPU sort
+                # emitter produces an overlapping reduce-window
+                # (window 8 / stride 1) that this toolchain's fusion
+                # emitter CHECK-fails on at K >= ~128, after minutes of
+                # pathological compile time (fusion_emitter.cc:4273;
+                # PARITY.md round 2-3). Standalone, the same top_k
+                # compiles in seconds and runs in ~0.05 ms.
+                boosted = jax.lax.optimization_barrier(boosted)
+                top_vals, top_acts = jax.lax.optimization_barrier(
+                    jax.lax.top_k(boosted, k)
+                )
                 p0 = jnp.einsum(
                     "ba,ba->b", a0_oh.astype(jnp.float32), renormed
                 )
