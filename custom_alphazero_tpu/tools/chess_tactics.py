@@ -1,0 +1,218 @@
+"""Mate-in-1 tactics set: generation, labeling, and model evaluation.
+
+Chess has no exact-solver oracle (the reference's Connect-4 solver has no
+chess counterpart), so objective — non-arena-relative — strength evidence
+comes from engine-labeled tactics: the engine's own legal/terminal logic
+labels mate-in-1 exactly (reference's game-generic pipeline has no such
+eval at all; self_play.py:24-34 only ever reports arena scores).
+
+Generation: random self-play positions are screened by stepping EVERY
+legal move of every position in one batched ``vmap(env.step)`` call;
+a position enters the set when at least one legal move ends the game as
+a win for the mover (checkmate — stalemates end as draws). Labels are the
+full set of mating actions.
+
+Metrics (higher = stronger, random-legal baseline ~ 1/num_legal):
+- raw_policy: argmax over legal of the net's policy is a mating move;
+- mcts: argmax-visit move of a search is a mating move (search should
+  solve these at any reasonable simulation budget — a weak net shows up
+  as raw_policy << mcts).
+
+Run:
+  python -m custom_alphazero_tpu.tools.chess_tactics --generate=tactics.npz \
+      [--positions=500] [--seed=0]
+  python -m custom_alphazero_tpu.tools.chess_tactics --labels=tactics.npz \
+      --run_id=chess-r3 [--which=best] [--sims=64] [--mcts=true]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from custom_alphazero_tpu.config import ChessConfig, MCTSConfig
+from custom_alphazero_tpu.envs.chess.engine import Chess
+from custom_alphazero_tpu.search.mcts import MCTS
+
+
+def generate_tactics(
+    path: str,
+    positions: int = 500,
+    seed: int = 0,
+    batch: int = 256,
+    max_plies: int = 160,
+) -> dict:
+    """Random-play screening for mate-in-1 positions; writes ``path``.
+
+    Saved arrays: board/castling/ep_file/halfmove/fullmove (enough for
+    ``Chess.state_from_arrays`` — mate-in-1 is history-independent), the
+    (P, A) legal mask and the (P, A) mate-action mask."""
+    env = Chess(ChessConfig())
+    rng = jax.random.PRNGKey(seed)
+
+    init = jax.vmap(lambda _: env.init())(jnp.arange(batch))
+    legal_fn = jax.jit(jax.vmap(env.legal_mask))
+    step_fn = jax.jit(jax.vmap(env.step))
+
+    @jax.jit
+    def random_step(state, key):
+        legal = jax.vmap(env.legal_mask)(state)
+        logits = jnp.where(legal, 0.0, -1e9)
+        action = jax.random.categorical(key, logits, axis=-1)
+        nxt, _ = jax.vmap(env.step)(state, action.astype(jnp.int32))
+        keep = state.terminal
+        return jax.tree.map(
+            lambda c, n: jnp.where(
+                keep.reshape((-1,) + (1,) * (n.ndim - 1)), c, n
+            ),
+            state, nxt,
+        )
+
+    found = {k: [] for k in
+             ("board", "castling", "ep_file", "halfmove", "fullmove")}
+    mate_masks, legal_masks = [], []
+    state = init
+    total = 0
+    for ply in range(max_plies):
+        rng, k = jax.random.split(rng)
+        state = random_step(state, k)
+        active = ~np.asarray(state.terminal)
+        if not active.any():
+            state = init
+            continue
+        # Screen the batch: step every legal action of every active game.
+        legal = np.asarray(legal_fn(state))  # (B, A)
+        host = jax.device_get(state)
+        pairs_state, pairs_action, owners = [], [], []
+        for g in np.nonzero(active)[0]:
+            acts = np.nonzero(legal[g])[0]
+            for a in acts:
+                pairs_state.append(g)
+                pairs_action.append(a)
+                owners.append(g)
+        if not pairs_action:
+            continue
+        idx = jnp.asarray(np.asarray(pairs_state))
+        sub = jax.tree.map(lambda l: jnp.asarray(np.asarray(l)[idx]), host)
+        child, _ = step_fn(sub, jnp.asarray(pairs_action, jnp.int32))
+        mate = np.asarray(child.terminal & child.won)
+        owners = np.asarray(owners)
+        actions = np.asarray(pairs_action)
+        for g in np.unique(owners[mate]):
+            mask = np.zeros((env.num_actions,), bool)
+            mask[actions[(owners == g) & mate]] = True
+            for key in found:
+                found[key].append(np.asarray(getattr(host, key))[g])
+            mate_masks.append(mask)
+            legal_masks.append(legal[g])
+            total += 1
+        if total >= positions:
+            break
+    arrays = {k: np.stack(v) for k, v in found.items()}
+    arrays["mate_mask"] = np.stack(mate_masks)
+    arrays["legal_mask"] = np.stack(legal_masks)
+    np.savez_compressed(path, **arrays)
+    print(f"tactics: {total} mate-in-1 positions -> {path} "
+          f"(mean mating moves "
+          f"{arrays['mate_mask'].sum(1).mean():.2f}, "
+          f"mean legal {arrays['legal_mask'].sum(1).mean():.1f})")
+    return {"positions": total, "path": path}
+
+
+def states_from_npz(env: Chess, data) -> list:
+    states = []
+    for i in range(data["board"].shape[0]):
+        states.append(env.state_from_arrays(
+            data["board"][i],
+            [bool(x) for x in data["castling"][i]],
+            int(data["ep_file"][i]),
+            int(data["halfmove"][i]),
+            int(data["fullmove"][i]),
+        ))
+    return states
+
+
+def evaluate_tactics(
+    evaluate_fn,
+    labels_npz: str,
+    use_mcts: bool = False,
+    sims: int = 64,
+    batch: int = 64,
+) -> dict:
+    """Fraction of tactics positions whose chosen move mates."""
+    env = Chess(ChessConfig())
+    data = np.load(labels_npz)
+    states = states_from_npz(env, data)
+    mate_mask = data["mate_mask"]
+    legal_mask = data["legal_mask"]
+    hits, rand_base = [], []
+    if use_mcts:
+        mcts = MCTS(env, MCTSConfig(simulations=sims))
+        search = jax.jit(lambda s, k: mcts.root_child_visits(
+            mcts.search(s, evaluate_fn, k, sims)))
+        for i0 in range(0, len(states), batch):
+            chunk = states[i0:i0 + batch]
+            stacked = jax.tree.map(
+                lambda *ls: jnp.stack(ls), *chunk
+            )
+            visits = np.asarray(
+                search(stacked, jax.random.PRNGKey(i0))
+            )
+            act = visits.argmax(axis=-1)
+            for j, a in enumerate(act):
+                hits.append(bool(mate_mask[i0 + j, a]))
+    else:
+        obs_fn = jax.jit(jax.vmap(env.observe))
+        fwd = jax.jit(lambda o: evaluate_fn(o)[0])
+        for i0 in range(0, len(states), batch):
+            chunk = states[i0:i0 + batch]
+            stacked = jax.tree.map(lambda *ls: jnp.stack(ls), *chunk)
+            probs = np.asarray(fwd(obs_fn(stacked)))
+            probs = np.where(legal_mask[i0:i0 + len(chunk)], probs, -1.0)
+            act = probs.argmax(axis=-1)
+            for j, a in enumerate(act):
+                hits.append(bool(mate_mask[i0 + j, a]))
+    for i in range(len(states)):
+        rand_base.append(mate_mask[i].sum() / max(legal_mask[i].sum(), 1))
+    return {
+        "accuracy": float(np.mean(hits)),
+        "positions": len(hits),
+        "random_baseline": float(np.mean(rand_base)),
+        "mode": "mcts" if use_mcts else "raw_policy",
+        "sims": sims if use_mcts else None,
+    }
+
+
+def main(argv=None):
+    from custom_alphazero_tpu.tools.cli import parse_kv_args
+
+    args = parse_kv_args(argv or sys.argv[1:], __doc__)
+    if "--generate" in args:
+        return generate_tactics(
+            args["--generate"],
+            positions=int(args.get("--positions", 500)),
+            seed=int(args.get("--seed", 0)),
+        )
+    from custom_alphazero_tpu.tools.strength import load_run_model
+
+    env, evaluate_fn, cfg, meta = load_run_model(
+        args["--run_id"], args.get("--results_dir", "results"),
+        args.get("--which", "best"), game="chess",
+    )
+    report = evaluate_tactics(
+        evaluate_fn,
+        args["--labels"],
+        use_mcts=args.get("--mcts", "false").lower() == "true",
+        sims=int(args.get("--sims", 64)),
+    )
+    report.update(run_id=args["--run_id"], steps=meta.get("steps"))
+    print(json.dumps(report))
+    return report
+
+
+if __name__ == "__main__":
+    main()

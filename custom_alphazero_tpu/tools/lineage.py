@@ -112,7 +112,7 @@ def format_table(report: dict) -> str:
     labeled = any("move_accuracy" in e for e in entries)
     head = ["promotion iter", "steps"]
     if labeled:
-        head += ["labeled move acc", "labeled value acc"]
+        head += ["labeled move acc", "labeled value acc", "value sign acc"]
     if probe:
         head += [f"MCTS-{report['sims']} move acc", "rank score"]
     lines = ["| " + " | ".join(head) + " |",
@@ -121,7 +121,8 @@ def format_table(report: dict) -> str:
         row = [str(e["iteration"]), str(e["steps"])]
         if labeled:
             row += [f"{e.get('move_accuracy', float('nan')):.3f}",
-                    f"{e.get('value_accuracy', float('nan')):.3f}"]
+                    f"{e.get('value_accuracy', float('nan')):.3f}",
+                    f"{e.get('value_sign_accuracy', float('nan')):.3f}"]
         if probe:
             row += [f"{e.get('mcts_move_accuracy', float('nan')):.3f}",
                     f"{e.get('mcts_rank_score', float('nan')):.3f}"]

@@ -45,12 +45,20 @@ def evaluate_strength(
     without an opening book, so scoring starts midgame (even plies keep the
     tested policy as the nominal first mover).
 
-    Returns {move_accuracy, mean_rank_score, blunders, positions, results}:
+    Returns {move_accuracy, mean_rank_score, blunders, positions, results,
+    expected_results, ...}:
     - move_accuracy: fraction of moves whose child value equals the best
       child's game-theoretic value (value-optimal moves);
     - mean_rank_score: reference metric 1 - (rank+1)/num_legal averaged;
     - blunders: value-category drops (win->draw/loss or draw->loss);
-    - results: +1/0/-1 game outcomes for the tested policy.
+    - results: +1/0/-1 game outcomes for the tested policy;
+    - expected_results: the solver's game-theoretic outcome of each random
+      opening from the tested side's view — the oracle normalization
+      (VERDICT r2): "converts N wins vs perfect play" only means something
+      next to how many openings were theoretically won. Aggregates:
+      converted_wins / expected_wins (won openings actually won) and
+      losses_from_nonlost (losses from theoretically won/drawn openings —
+      must be 0 for solver-perfect play).
     """
     solver = solver or sv.ConnectFourSolver()
     mcts = MCTS(env, mcts_cfg)
@@ -68,6 +76,7 @@ def evaluate_strength(
 
     opening_plies -= opening_plies % 2  # keep tested side on even plies
     accs, rank_scores, blunders, results = [], [], 0, []
+    expected_results = []
     positions = 0
     for game in range(num_games):
         state = env.init()
@@ -76,6 +85,20 @@ def evaluate_strength(
             legal = np.nonzero(np.asarray(env.legal_mask(state)))[0]
             state, _ = step(state, jnp.int32(int(rng.choice(legal))))
             ply += 1
+        # Oracle-normalize the opening: its game-theoretic value from the
+        # tested side's view (the board is canonical, side-to-move = the
+        # tested policy at even plies). A ply-8 solve is sub-second.
+        if bool(state.terminal):
+            # Opening randomness ended the game: expected == achieved.
+            won = bool(state.won)
+            tested_last = (ply - 1) % 2 == 0
+            expected_results.append(
+                1 if won and tested_last else (-1 if won else 0)
+            )
+        else:
+            expected_results.append(
+                int(np.sign(solver.solve_board(np.asarray(state.board))))
+            )
         while not bool(state.terminal):
             board = np.asarray(state.board)
             if ply % 2 == 0:  # tested policy to move
@@ -122,18 +145,34 @@ def evaluate_strength(
         won = bool(state.won)
         last_mover_tested = (ply - 1) % 2 == 0
         results.append(1 if won and last_mover_tested else (-1 if won else 0))
+    expected_wins = sum(e == 1 for e in expected_results)
+    converted = sum(
+        1 for e, r in zip(expected_results, results) if e == 1 and r == 1
+    )
+    losses_from_nonlost = sum(
+        1 for e, r in zip(expected_results, results) if e >= 0 and r == -1
+    )
     return {
         "move_accuracy": float(np.mean(accs)) if accs else 0.0,
         "mean_rank_score": float(np.mean(rank_scores)) if rank_scores else 0.0,
         "blunders": blunders,
         "positions": positions,
         "results": results,
+        "expected_results": expected_results,
+        "expected_wdl": (
+            expected_wins,
+            sum(e == 0 for e in expected_results),
+            sum(e == -1 for e in expected_results),
+        ),
+        "converted_wins": converted,
+        "expected_wins": expected_wins,
+        "losses_from_nonlost": losses_from_nonlost,
         "win_rate": float(np.mean([r == 1 for r in results])),
     }
 
 
 def load_run_model(run_id: str, results_dir: str = "results",
-                   which: str = "best"):
+                   which: str = "best", game: str = "connect_n"):
     """Load a run's model for evaluation: ``which`` = "best" (newest
     promoted lineage under evaluation/iteration_N, reference
     best_saved_model, utils.py:64-78) or "last" (training/ checkpoint,
@@ -155,17 +194,22 @@ def load_run_model(run_id: str, results_dir: str = "results",
         make_evaluate_fn,
     )
 
-    run_dir = paths.run_path(results_dir, "connect_n", run_id)
+    run_dir = paths.run_path(results_dir, game, run_id)
     with open(os.path.join(run_dir, paths.CONFIG_FILE)) as fp:
         cfg = from_json(fp.read())
-    env = ConnectN(cfg.connect_n)
+    if game == "chess":
+        from custom_alphazero_tpu.envs.chess.engine import Chess
+
+        env = Chess(cfg.chess)
+    else:
+        env = ConnectN(cfg.connect_n)
     net = PolicyValueNet(env.num_actions, cfg.model)
     template = init_train_state(
         net, cfg.model, jax.random.PRNGKey(0), env.obs_shape
     )
     if which == "best":
         found = latest_evaluation_iteration(
-            paths.evaluation_path(results_dir, "connect_n", run_id)
+            paths.evaluation_path(results_dir, game, run_id)
         )
         if found is None:
             raise FileNotFoundError(f"No promoted model in run {run_id}")
@@ -173,7 +217,7 @@ def load_run_model(run_id: str, results_dir: str = "results",
         meta["iteration"] = found[0]
     else:
         state, meta = load_checkpoint(
-            paths.training_path(results_dir, "connect_n", run_id), template
+            paths.training_path(results_dir, game, run_id), template
         )
     evaluate = make_evaluate_fn(net)
     params, stats = state.params, state.batch_stats
@@ -196,9 +240,25 @@ def labeled_policy_accuracy(evaluate_fn, labels_npz: str) -> dict:
     legal = obs[:, 0, :, 1] + obs[:, 0, :, 2] == 0
     choice = np.where(legal, probs, -1.0).argmax(-1)
     pred_cat = np.where(value > 1 / 3, 1, np.where(value < -1 / 3, -1, 0))
+    value = np.asarray(value)
+    zs = np.sign(z)
+    decisive = zs != 0
+    # Round-3 additions (VERDICT r2 #10): the +-1/3 categorical accuracy
+    # under-reports a correctly-signed but compressed head, so report the
+    # sign accuracy on decisive positions, the correlation, and the mean
+    # prediction per true class (the calibration summary — ordering right
+    # + scale compressed is a regime property, not a sign bug).
     return {
         "move_accuracy": float(optimal[np.arange(len(choice)), choice].mean()),
-        "value_accuracy": float((pred_cat == np.sign(z)).mean()),
+        "value_accuracy": float((pred_cat == zs).mean()),
+        "value_sign_accuracy": float(
+            (np.sign(value[decisive]) == zs[decisive]).mean()
+        ) if decisive.any() else 0.0,
+        "value_corr": float(np.corrcoef(value, z)[0, 1]),
+        "value_mean_by_class": {
+            int(c): float(value[zs == c].mean())
+            for c in (-1, 0, 1) if (zs == c).any()
+        },
         "positions": int(len(obs)),
     }
 

@@ -1,0 +1,108 @@
+"""Chess strength tooling: tactics generation/eval and baseline opponents.
+
+The reference has no absolute chess strength evaluation at all (only
+arena-relative scores, model/tensorflow/train.py:103-113); these tools are
+the framework's engine-labeled substitute for the missing chess oracle."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from custom_alphazero_tpu.config import ChessConfig
+from custom_alphazero_tpu.envs.chess.engine import Chess
+from custom_alphazero_tpu.tools.chess_strength import (
+    _greedy_scores,
+    play_vs_opponent,
+)
+from custom_alphazero_tpu.tools.chess_tactics import (
+    evaluate_tactics,
+    generate_tactics,
+    states_from_npz,
+)
+
+
+def _uniform_evaluate(env):
+    def evaluate_fn(obs):
+        return (
+            jnp.ones((obs.shape[0], env.num_actions)) / env.num_actions,
+            jnp.zeros((obs.shape[0],)),
+        )
+    return evaluate_fn
+
+
+def test_generate_tactics_labels_real_mates(tmp_path):
+    env = Chess(ChessConfig())
+    path = str(tmp_path / "tactics.npz")
+    out = generate_tactics(path, positions=6, seed=3, batch=32,
+                           max_plies=120)
+    assert out["positions"] >= 6
+    data = np.load(path)
+    states = states_from_npz(env, data)
+    step = jax.jit(env.step)
+    # Every labeled mating move must actually end the game as a win for
+    # the mover; every labeled non-mating legal move must not.
+    checked_mate = checked_quiet = 0
+    for i, st in enumerate(states[:4]):
+        mate_actions = np.nonzero(data["mate_mask"][i])[0]
+        legal_actions = np.nonzero(data["legal_mask"][i])[0]
+        assert len(mate_actions) >= 1
+        for a in mate_actions:
+            child, _ = step(st, jnp.int32(int(a)))
+            assert bool(child.terminal) and bool(child.won)
+            checked_mate += 1
+        for a in legal_actions[:5]:
+            if a in mate_actions:
+                continue
+            child, _ = step(st, jnp.int32(int(a)))
+            assert not (bool(child.terminal) and bool(child.won))
+            checked_quiet += 1
+    assert checked_mate and checked_quiet
+
+
+def test_evaluate_tactics_mcts_beats_uniform_raw(tmp_path):
+    env = Chess(ChessConfig())
+    path = str(tmp_path / "tactics.npz")
+    generate_tactics(path, positions=6, seed=5, batch=32, max_plies=120)
+    ev = _uniform_evaluate(env)
+    raw = evaluate_tactics(ev, path, use_mcts=False)
+    assert 0.0 <= raw["accuracy"] <= 1.0
+    assert raw["positions"] >= 6
+    # Even a uniform evaluator should solve most mate-in-1s with search:
+    # the mating child is terminal and backs up a loss for the defender.
+    searched = evaluate_tactics(ev, path, use_mcts=True, sims=48, batch=8)
+    assert searched["accuracy"] >= raw["accuracy"]
+    assert searched["accuracy"] >= 0.5
+
+
+def test_greedy_scores_prefer_big_captures():
+    env = Chess(ChessConfig())
+    # White queen on d4 can take a black rook on d7 (canonical view:
+    # enemy negative). Build a tiny position: kings + queen vs rook.
+    board = np.zeros((8, 8), np.int8)
+    board[0, 4] = 6   # own king e1
+    board[7, 3] = -6  # enemy king d8... adjust: keep kings apart
+    board[7, 7] = -6
+    board[7, 3] = 0
+    board[3, 3] = 5   # own queen d4
+    board[6, 3] = -4  # enemy rook d7
+    state = env.state_from_arrays(board, [False] * 4, -1, 0, 10)
+    scores = np.asarray(
+        _greedy_scores(jnp.asarray(board.reshape(1, 64), jnp.int8))
+    )[0]
+    legal = np.asarray(env.legal_mask(state))
+    best = int(np.where(legal, scores, -1e9).argmax())
+    from custom_alphazero_tpu.envs.chess import tables as T
+
+    assert T.ACTION_UCI[best] == "d4d7"  # queen takes rook (value 5)
+
+
+def test_play_vs_opponent_runs_and_scores():
+    env = Chess(ChessConfig())
+    ev = _uniform_evaluate(env)
+    r = play_vs_opponent(env, ev, opponent="random", games=4, sims=12,
+                         seed=0, max_plies=60)
+    assert r["wins"] + r["draws"] + r["losses"] == r["games"] == 4
+    assert 0.0 <= r["score"] <= 1.0
+    r2 = play_vs_opponent(env, ev, opponent="greedy", games=4, sims=12,
+                          seed=1, max_plies=60)
+    assert r2["games"] == 4
