@@ -310,3 +310,42 @@ def test_reference_binary_score_parity(tmp_path):
         assert rf[0] == of[0] == pos
         # Field 1: identical strong score.
         assert int(rf[1]) == int(of[1]), f"score mismatch at {pos}: {rl} vs {ol}"
+
+
+def test_solve_cache_roundtrip_and_hits(tmp_path):
+    # Round-3 persistent solve cache: exact scores of shallow positions
+    # are memoized across solver instances (the practical complement to a
+    # full opening book whose 91k frontier solves cost ~60h on this host).
+    import time
+
+    cache = str(tmp_path / "cache.npz")
+    s1 = sv.ConnectFourSolver(cache=cache)
+    board = np.zeros((6, 7), np.int8)
+    for col in (3, 3, 4, 4, 2, 5):  # 6 plies: cacheable, nontrivial
+        board, ended = sv.play_canonical(board, col)
+        assert not ended
+    t0 = time.perf_counter()
+    score = s1.solve_board(board)
+    cold = time.perf_counter() - t0
+    s1.flush_cache()
+    assert os.path.exists(cache)
+    s2 = sv.ConnectFourSolver(cache=cache)
+    t0 = time.perf_counter()
+    assert s2.solve_board(board) == score
+    warm = time.perf_counter() - t0
+    assert warm < max(cold, 1e-3)  # pure dict hit, no native solve
+    # Deep positions bypass the cache entirely.
+    s3 = sv.ConnectFourSolver(cache=str(tmp_path / "c2.npz"))
+    deep = np.zeros((6, 7), np.int8)
+    import numpy.random as npr
+    rng = npr.default_rng(0)
+    plies = 0
+    while plies < 20:
+        legal = sv.legal_columns(deep)
+        nxt, ended = sv.play_canonical(deep, int(rng.choice(legal)))
+        if ended:
+            deep = np.zeros((6, 7), np.int8); plies = 0; continue
+        deep = nxt; plies += 1
+    s3.solve_board(deep)
+    s3.flush_cache()
+    assert not os.path.exists(str(tmp_path / "c2.npz"))  # nothing cached
