@@ -612,7 +612,21 @@ def run(cfg: Config, generations: Optional[int] = None) -> dict:
 
                         log_host = sharded.fetch(result.log)
                         if coordinator:
-                            solver_score = score_arena_log(log_host)
+                            # Host-side exact solves can take minutes under
+                            # CPU contention — that is live compute, not a
+                            # wedge, so keep the liveness file fresh for a
+                            # bounded window (observed false-positive kill
+                            # mid-scoring, round 3).
+                            score_grace = (
+                                CompileGraceToucher(15 * 60.0)
+                                if cfg.run.compile_grace_minutes > 0
+                                else None
+                            )
+                            try:
+                                solver_score = score_arena_log(log_host)
+                            finally:
+                                if score_grace is not None:
+                                    score_grace.stop()
                             print(f"[iter {iteration}] solver score="
                                   f"{solver_score:.3f}")
                             if metrics is not None:
