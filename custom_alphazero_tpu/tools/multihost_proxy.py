@@ -135,20 +135,26 @@ def collective_inventory(sims: int = 16, games: int = 16) -> dict:
 
     cfg = apply_overrides(Config(), {
         "mcts.simulations": str(sims),
-        "self_play.games_per_generation": str(games),
+        "self_play.games_per_generation": str(max(games, 16)),
         "model.depth": "1", "model.filters": "16", "model.value_hidden": "16",
         "model.batch_size": "32",
-        "replay.capacity": "1000", "replay.min_size": "32",
+        "replay.capacity": "1024", "replay.min_size": "32",
+        "arena.games": "32",
+        "mesh.data_parallelism": "2",
     })
     learner = Learner(cfg)
+    from custom_alphazero_tpu.runtime.train import init_train_state
+
     rng = jax.random.PRNGKey(0)
-    params, stats = (learner.train_state.params,
-                     learner.train_state.batch_stats)
-    counts = {}
+    ts = init_train_state(
+        learner.net, cfg.model, rng, learner.env.obs_shape
+    )
+    params, stats = ts.params, ts.batch_stats
     gen = jax.jit(learner.generate).lower(params, stats, rng).compile()
     texts = {"generate": "\n".join(
         m.to_string() for m in gen.runtime_executable().hlo_modules()
     )}
+    counts = {}
     for name, text in texts.items():
         ops = re.findall(r"(all-reduce|all-gather|reduce-scatter|"
                          r"collective-permute|all-to-all)", text)
@@ -192,8 +198,15 @@ def main(argv=None):
     # solo time (same per-process compute) + collective/coordination
     # overhead; this ratio isolates that overhead.
     report["dp2_overhead_vs_half_workload"] = (t_dp2 - t_half) / t_half
-    report["collectives_dp2"] = collective_inventory(sims, games)
-    print(json.dumps(report, indent=2))
+    print(json.dumps(report, indent=2), flush=True)  # timings first
+    try:
+        report["collectives_dp2"] = collective_inventory(sims, games)
+        print(json.dumps(
+            {"collectives_dp2": report["collectives_dp2"]}, indent=2
+        ))
+    except Exception as e:  # HLO introspection is version-sensitive
+        report["collectives_dp2"] = f"unavailable: {e}"
+        print(report["collectives_dp2"])
     return report
 
 
