@@ -619,17 +619,29 @@ class MCTS:
                 a0 = jnp.argmax(legal, axis=-1)  # lowest legal index
                 a0_oh = (jnp.arange(a)[None, :] == a0[:, None])
                 boosted = renormed + a0_oh.astype(jnp.float32) * 2.0
-                # optimization_barrier: keep the sort OUT of the
-                # surrounding loop-body fusion. Fused, the TPU sort
-                # emitter produces an overlapping reduce-window
-                # (window 8 / stride 1) that this toolchain's fusion
-                # emitter CHECK-fails on at K >= ~128, after minutes of
+                # On TPU, keep the sort OUT of the surrounding loop-body
+                # fusion with optimization_barrier: fused, the TPU sort
+                # emitter produces an overlapping reduce-window (window 8 /
+                # stride 1) that this toolchain's fusion emitter
+                # CHECK-fails on at K >= ~128, after minutes of
                 # pathological compile time (fusion_emitter.cc:4273;
                 # PARITY.md round 2-3). Standalone, the same top_k
-                # compiles in seconds and runs in ~0.05 ms.
-                boosted = jax.lax.optimization_barrier(boosted)
-                top_vals, top_acts = jax.lax.optimization_barrier(
-                    jax.lax.top_k(boosted, k)
+                # compiles in seconds and runs in ~0.05 ms. Platform-gated
+                # because the barrier itself aborts the CPU backend's
+                # compiler inside shard_map programs (lowering picks the
+                # branch per target, so a CPU test mesh coexisting with a
+                # TPU plugin still compiles both ways correctly).
+                def _topk_tpu(b):
+                    b = jax.lax.optimization_barrier(b)
+                    return jax.lax.optimization_barrier(
+                        jax.lax.top_k(b, k)
+                    )
+
+                def _topk_plain(b):
+                    return jax.lax.top_k(b, k)
+
+                top_vals, top_acts = jax.lax.platform_dependent(
+                    boosted, tpu=_topk_tpu, default=_topk_plain
                 )
                 p0 = jnp.einsum(
                     "ba,ba->b", a0_oh.astype(jnp.float32), renormed
