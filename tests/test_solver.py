@@ -349,3 +349,54 @@ def test_solve_cache_roundtrip_and_hits(tmp_path):
     s3.solve_board(deep)
     s3.flush_cache()
     assert not os.path.exists(str(tmp_path / "c2.npz"))  # nothing cached
+
+
+def test_ctypes_book_attach_is_consulted(tmp_path):
+    # Regression: the ctypes-path book attach was silently skipped when no
+    # cache file existed (round 3), so probes fell through to full solves.
+    # A fake score at the empty-board key proves the probe is consulted:
+    # a real empty-board solve takes minutes, a probe hit is instant.
+    from custom_alphazero_tpu.tools.book_from_cache import (
+        canonical_key,
+        write_book,
+    )
+
+    book = str(tmp_path / "probe.book")
+    write_book({canonical_key(0, 0): 3}, 16, book)
+    s = sv.ConnectFourSolver(book=book, cache=None)
+    assert s.book_depth == 16
+    t0 = time.perf_counter()
+    assert s.solve_board(np.zeros((6, 7), np.int8)) == 3
+    assert time.perf_counter() - t0 < 1.0
+
+
+def test_book_from_cache_roundtrip(tmp_path):
+    # Solve shallow positions into a cache, convert to a native book, and
+    # verify a book-only solver probes identical scores instantly.
+    from custom_alphazero_tpu.tools.book_from_cache import convert
+
+    cache = str(tmp_path / "cache.npz")
+    book = str(tmp_path / "from_cache.book")
+    s = sv.ConnectFourSolver(cache=cache)
+    rng = np.random.default_rng(5)
+    boards, scores = [], []
+    while len(boards) < 6:
+        b = np.zeros((6, 7), np.int8)
+        ended = False
+        for _ in range(int(rng.integers(6, 11))):
+            legal = sv.legal_columns(b)
+            nxt, ended = sv.play_canonical(b, int(rng.choice(legal)))
+            if ended:
+                break
+            b = nxt
+        if not ended:
+            boards.append(b)
+            scores.append(s.solve_board(b))
+    s.flush_cache()
+    n = convert(cache, book, max_plies=16)
+    assert n == len(set(map(lambda x: x.tobytes(), boards)))
+    s2 = sv.ConnectFourSolver(book=book, cache=None)
+    t0 = time.perf_counter()
+    for b, sc in zip(boards, scores):
+        assert s2.solve_board(b) == sc
+    assert time.perf_counter() - t0 < 1.0  # all probe hits
