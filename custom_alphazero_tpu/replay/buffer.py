@@ -23,7 +23,11 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from custom_alphazero_tpu.replay.codec import BitplaneCodec, TopKPolicyCodec
+from custom_alphazero_tpu.replay.codec import (
+    BitplaneCodec,
+    PackedObs,
+    TopKPolicyCodec,
+)
 from custom_alphazero_tpu.runtime.selfplay import SelfPlayBatch
 
 
@@ -86,7 +90,13 @@ def replay_add(
     offsets = jnp.cumsum(mask.astype(jnp.int32)) - 1
     slots = jnp.where(mask, (state.head + offsets) % capacity, capacity)
     count = mask.sum().astype(jnp.int32)
-    obs_rows = codec.encode(batch.obs) if codec is not None else batch.obs
+    # The generation may already have packed its observations in-scan
+    # (selfplay obs_codec — the chess-scale memory fix); accept either.
+    already_packed = isinstance(batch.obs, PackedObs)
+    if codec is not None and not already_packed:
+        obs_rows = codec.encode(batch.obs)
+    else:
+        obs_rows = batch.obs
     policy_rows = (
         policy_codec.encode(batch.policy)
         if policy_codec is not None else batch.policy

@@ -137,16 +137,29 @@ class Learner:
         # not jax.default_backend(): a CPU dryrun mesh can coexist with a
         # visible TPU plugin.
         platform = self.mesh.devices.flat[0].platform
+        self.codec = (
+            codec_for_env(self.env) if cfg.replay.compress_obs else None
+        )
+        # Large observations (chess: 30 KB/sample f32) are bit-packed
+        # INSIDE the generation scan: the raw per-ply sample buffer is
+        # T*B x obs bytes (~4 GB at 256 chess games x 512 plies — enough
+        # to OOM the chip with transients; observed as a TPU worker crash
+        # at batch >= 128, round 3). Small observations (Connect-4: 672 B)
+        # keep the raw path — packing there only adds per-ply work.
+        obs_codec = (
+            self.codec
+            if self.codec is not None
+            and int(np.prod(self.env.obs_shape)) >= 2048
+            else None
+        )
         selfplay = make_selfplay_fn(
             self.env, cfg.mcts, cfg.self_play, max_plies,
             fused=None if platform == "tpu" else False,
+            obs_codec=obs_codec,
         )
         batch_size = cfg.self_play.games_per_generation
         self.dp = self.mesh.shape[cfg.mesh.data_axis]
         self.train_step = jax.jit(make_train_step(self.net, cfg.model))
-        self.codec = (
-            codec_for_env(self.env) if cfg.replay.compress_obs else None
-        )
         self.policy_codec = (
             TopKPolicyCodec(self.env.num_actions, cfg.replay.policy_topk)
             if cfg.replay.policy_topk else None
@@ -484,9 +497,31 @@ def run(cfg: Config, generations: Optional[int] = None) -> dict:
                     results_dir, game, run_id, generation
                 )
                 os.makedirs(it_dir, exist_ok=True)
+                from custom_alphazero_tpu.replay.codec import PackedObs
+
+                if isinstance(host.obs, PackedObs):
+                    # Packed generation (chess scale): decode only the
+                    # valid rows, chunked so the archive never re-creates
+                    # the multi-GB raw buffer packing avoided.
+                    words = np.asarray(host.obs.words)[host.valid]
+                    scalars = np.asarray(host.obs.scalars)[host.valid]
+                    decode = jax.jit(learner.codec.decode)
+                    chunks = []
+                    for i0 in range(0, len(words), 8192):
+                        chunks.append(np.asarray(decode(PackedObs(
+                            words=jnp.asarray(words[i0:i0 + 8192]),
+                            scalars=jnp.asarray(scalars[i0:i0 + 8192]),
+                        ))))
+                    states_np = (
+                        np.concatenate(chunks) if chunks
+                        else np.zeros((0,) + learner.env.obs_shape,
+                                      np.float32)
+                    )
+                else:
+                    states_np = host.obs[host.valid]
                 np.savez(
                     os.path.join(it_dir, paths.SAMPLES_FILE),
-                    states=host.obs[host.valid],
+                    states=states_np,
                     policies=host.policy[host.valid],
                     values=host.value[host.valid],
                 )

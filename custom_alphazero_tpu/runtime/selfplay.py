@@ -39,9 +39,17 @@ from custom_alphazero_tpu.search.mcts import MCTS, EvaluateFn
 
 
 class SelfPlayBatch(NamedTuple):
-    """Flattened (T*B) sample arrays + validity mask."""
+    """Flattened (T*B) sample arrays + validity mask.
 
-    obs: jnp.ndarray      # (T*B, H, W, C)
+    ``obs`` is the raw (T*B, H, W, C) observation tensor, or — when the
+    generation was built with an ``obs_codec`` — the codec's packed pytree
+    (replay/codec.py PackedObs, bit-packed in-scan). Packing inside the
+    generation matters at chess scale: the raw per-ply sample buffer is
+    T*B x 30 KB of f32 118-plane observations (~4 GB at 256 games x 512
+    plies, enough to OOM the chip with transients — the round-3 worker
+    crash at batch >= 128), while the packed buffer is ~30x smaller."""
+
+    obs: Any              # (T*B, H, W, C) array, or PackedObs pytree
     policy: jnp.ndarray   # (T*B, A)
     value: jnp.ndarray    # (T*B,)
     valid: jnp.ndarray    # (T*B,) bool — live ply, non-excluded game
@@ -62,6 +70,7 @@ def make_selfplay_fn(
     sp_cfg: SelfPlayConfig,
     max_plies: int,
     fused: bool = None,
+    obs_codec=None,
 ) -> Callable[[EvaluateFn, jnp.ndarray, int], Tuple[SelfPlayBatch, SelfPlayStats]]:
     """Build the generation function; callers jit the returned closure
     (typically wrapped so `evaluate_fn` closes over dynamic params).
@@ -69,7 +78,11 @@ def make_selfplay_fn(
     fused: use the Pallas fused search kernel (ops/fused_mcts.py) for the
     per-ply MCTS — bit-identical root statistics, tree state kept in VMEM.
     Default (None): auto — on TPU, whenever the env/config supports it
-    (elsewhere the kernel would run interpreted, slower than the XLA path)."""
+    (elsewhere the kernel would run interpreted, slower than the XLA path).
+
+    obs_codec: a replay/codec.py BitplaneCodec; when given, observations
+    are bit-packed INSIDE the generation scan and SelfPlayBatch.obs is the
+    packed pytree (see SelfPlayBatch docstring for why)."""
 
     from custom_alphazero_tpu.ops import fused_mcts, fused_mcts_v2
 
@@ -131,6 +144,7 @@ def make_selfplay_fn(
             rng, k_search, k_sample = jax.random.split(rng, 3)
             active = ~jax.vmap(env.is_terminal)(states)
             obs = jax.vmap(env.observe)(states)
+            rec_obs = obs_codec.encode(obs) if obs_codec is not None else obs
 
             mv = jax.vmap(lambda s: s.fullmove)(states)
             if gumbel:
@@ -195,7 +209,7 @@ def make_selfplay_fn(
                     free = jnp.where(done, 1, free)
             return (
                 (next_states, tree, free, rng),
-                (obs, pi, active, rewards, done, mv),
+                (rec_obs, pi, active, rewards, done, mv),
             )
 
         (final_states, _, _, _), (
@@ -274,7 +288,7 @@ def make_selfplay_fn(
 
         flat = lambda x: x.reshape((-1,) + x.shape[2:])
         batch = SelfPlayBatch(
-            obs=flat(obs_seq),
+            obs=jax.tree.map(flat, obs_seq),
             policy=flat(pi_seq),
             value=flat(z).astype(jnp.float32),
             valid=flat(valid),

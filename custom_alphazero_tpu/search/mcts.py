@@ -114,6 +114,15 @@ UNVISITED = -1
 
 EvaluateFn = Callable[[jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray]]
 
+def _tpu_backend() -> bool:
+    """Trace-time check: compiling for a TPU-family backend (incl. the
+    'axon' tunnel platform, which lowers through the same TPU toolchain —
+    lax.platform_dependent would not match it under the 'tpu' key). CPU
+    test meshes and the forced-CPU dryrun report 'cpu' and take the plain
+    paths."""
+    return jax.default_backend() in ("tpu", "axon")
+
+
 
 @struct.dataclass
 class Tree:
@@ -288,13 +297,36 @@ class MCTS:
         )
         return jnp.where(legal, jnp.maximum(renormed, 1e-35), 0.0)
 
-    def _root_noisy_prior(self, root_prior, rng):
-        """Per-simulation Dirichlet mix at the root (reference mcts.py:70-85)."""
+    def presample_noise(self, rng, simulations: int, batch: int):
+        """(S, B, A) gamma draws for every simulation's root Dirichlet mix,
+        sampled in ONE call BEFORE the simulation loop. Sampling inside the
+        loop kernel-faults the TPU worker at chess scale on this toolchain
+        (B >= 128, A = 1968: the rejection sampler's internal while loop
+        miscompiles when embedded in the search program — the identical
+        program without noise, and this standalone-shaped presample, both
+        run; optimization_barrier fencing did NOT fix it, so the sampler is
+        hoisted out entirely). Also per-wave cheaper: one batched sample
+        replaces S sequential ones. RNG stream differs from per-wave
+        sampling; noise tests assert statistics, not draws."""
+        if not self.cfg.use_dirichlet:
+            return None
+        return jax.random.gamma(
+            rng, self.cfg.dirichlet_alpha,
+            (simulations, batch, self.env.num_actions),
+        )
+
+    def _root_noisy_prior(self, root_prior, rng, gamma=None):
+        """Per-simulation Dirichlet mix at the root (reference mcts.py:70-85).
+        ``gamma``: this wave's presampled (B, A) draw (presample_noise);
+        falls back to sampling from ``rng`` (small-scale callers)."""
         cfg = self.cfg
         if not cfg.use_dirichlet:
             return root_prior
         legal = root_prior > 0
-        gamma = jax.random.gamma(rng, cfg.dirichlet_alpha, root_prior.shape)
+        if gamma is None:
+            gamma = jax.random.gamma(
+                rng, cfg.dirichlet_alpha, root_prior.shape
+            )
         gamma = jnp.where(legal, gamma, 0.0)
         noise = gamma / jnp.maximum(
             jnp.sum(gamma, axis=-1, keepdims=True), 1e-30
@@ -460,6 +492,11 @@ class MCTS:
                             cur)
             return jax.lax.dynamic_update_slice(arr, val, (0, col))
 
+        # Root Dirichlet noise for every wave, sampled BEFORE the loop
+        # (see presample_noise: in-loop gamma kernel-faults at chess scale).
+        rng, k_all_noise = jax.random.split(rng)
+        all_noise = self.presample_noise(k_all_noise, simulations, batch)
+
         # ---- the simulation wave -------------------------------------------
         def sim_body(i, carry):
             tree, rng = carry
@@ -467,7 +504,15 @@ class MCTS:
             raw_root_prior = (
                 tree.root_prior if compressed else tree.prior[:, 0]
             )
-            root_prior = self._root_noisy_prior(raw_root_prior, knoise)
+            wave_gamma = (
+                jax.lax.dynamic_index_in_dim(
+                    all_noise, i, axis=0, keepdims=False
+                )
+                if all_noise is not None else None
+            )
+            root_prior = self._root_noisy_prior(
+                raw_root_prior, knoise, gamma=wave_gamma
+            )
 
             # Per-wave PUCT precompute over ALL nodes (stats frozen during
             # select; see module docstring).
@@ -626,23 +671,17 @@ class MCTS:
                 # CHECK-fails on at K >= ~128, after minutes of
                 # pathological compile time (fusion_emitter.cc:4273;
                 # PARITY.md round 2-3). Standalone, the same top_k
-                # compiles in seconds and runs in ~0.05 ms. Platform-gated
-                # because the barrier itself aborts the CPU backend's
-                # compiler inside shard_map programs (lowering picks the
-                # branch per target, so a CPU test mesh coexisting with a
-                # TPU plugin still compiles both ways correctly).
-                def _topk_tpu(b):
-                    b = jax.lax.optimization_barrier(b)
-                    return jax.lax.optimization_barrier(
-                        jax.lax.top_k(b, k)
+                # compiles in seconds and runs in ~0.05 ms. Backend-gated
+                # (_tpu_backend) because the barrier itself aborts the CPU
+                # backend's compiler inside shard_map programs.
+                if _tpu_backend():
+                    top_vals, top_acts = jax.lax.optimization_barrier(
+                        jax.lax.top_k(
+                            jax.lax.optimization_barrier(boosted), k
+                        )
                     )
-
-                def _topk_plain(b):
-                    return jax.lax.top_k(b, k)
-
-                top_vals, top_acts = jax.lax.platform_dependent(
-                    boosted, tpu=_topk_tpu, default=_topk_plain
-                )
+                else:
+                    top_vals, top_acts = jax.lax.top_k(boosted, k)
                 p0 = jnp.einsum(
                     "ba,ba->b", a0_oh.astype(jnp.float32), renormed
                 )

@@ -156,3 +156,56 @@ def test_chess_scale_replay_fits_device_memory():
     small = replay_init(1024, env.obs_shape, env.num_actions, codec, pc)
     assert small.obs.words.shape == (1024, codec.n_words)
     assert small.policy.values.shape == (1024, 128)
+
+
+def test_packed_generation_equals_raw_after_decode():
+    # Round-3 chess-scale memory fix: obs bit-packed INSIDE the generation
+    # scan (selfplay obs_codec). Packed-then-decoded samples must be
+    # bit-identical to the raw path under a shared seed, and replay_add
+    # must accept the pre-packed batch directly.
+    import jax
+    import jax.numpy as jnp
+
+    from custom_alphazero_tpu.config import (
+        ChessConfig,
+        MCTSConfig,
+        SelfPlayConfig,
+    )
+    from custom_alphazero_tpu.envs.chess.engine import Chess
+    from custom_alphazero_tpu.replay.buffer import replay_add, replay_init
+    from custom_alphazero_tpu.replay.codec import codec_for_env
+    from custom_alphazero_tpu.runtime.selfplay import make_selfplay_fn
+
+    env = Chess(ChessConfig())
+    codec = codec_for_env(env)
+    mcts_cfg = MCTSConfig(simulations=8)
+    sp_cfg = SelfPlayConfig(continuous=True, exclude_draws=False)
+    uniform = lambda obs: (
+        jnp.ones((obs.shape[0], env.num_actions)) / env.num_actions,
+        jnp.zeros((obs.shape[0],)),
+    )
+    raw_fn = make_selfplay_fn(env, mcts_cfg, sp_cfg, max_plies=6,
+                              fused=False)
+    packed_fn = make_selfplay_fn(env, mcts_cfg, sp_cfg, max_plies=6,
+                                 fused=False, obs_codec=codec)
+    rng = jax.random.PRNGKey(7)
+    raw_batch, raw_stats = jax.jit(
+        lambda k: raw_fn(uniform, k, 4))(rng)
+    packed_batch, packed_stats = jax.jit(
+        lambda k: packed_fn(uniform, k, 4))(rng)
+    np.testing.assert_array_equal(
+        np.asarray(raw_batch.valid), np.asarray(packed_batch.valid)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(raw_batch.policy), np.asarray(packed_batch.policy)
+    )
+    decoded = np.asarray(codec.decode(packed_batch.obs))
+    np.testing.assert_array_equal(decoded, np.asarray(raw_batch.obs))
+    # replay_add accepts the pre-packed batch; samples decode identically.
+    ring = replay_init(64, env.obs_shape, env.num_actions, codec=codec)
+    ring_packed = replay_add(ring, packed_batch, codec=codec)
+    ring_raw = replay_add(ring, raw_batch, codec=codec)
+    np.testing.assert_array_equal(
+        np.asarray(ring_packed.obs.words), np.asarray(ring_raw.obs.words)
+    )
+    assert int(ring_packed.size) == int(ring_raw.size)
