@@ -127,6 +127,12 @@ class SelfPlayConfig:
     # dropped. Off by default: the plain mode reproduces the reference's
     # one-batch-of-games-per-iteration shape (self_play.py:85-119).
     continuous: bool = False
+    # Lockstep generation scan length (the per-game ply cap): 0 = the
+    # game's natural bound (W*H for Connect-N; 512 for chess, truncated
+    # games scoring as draws / dropped segments — runtime/loop.py
+    # max_game_plies). Chess production runs may set a shorter cap: the
+    # cap sizes every per-ply generation buffer (T*B rows).
+    max_plies: int = 0
 
 
 @dataclass(frozen=True)
@@ -187,6 +193,19 @@ class LoopConfig:
     # Every N generations, render one MCTS search tree (DOT/PDF) like the
     # reference's visualize_mcts_iteration (utils.py:136-162); 0 disables.
     visualize_frequency: int = 0
+    # Solver-distilled auxiliary value target (beyond-the-reference; the
+    # reference's solver is an MCTS prior/eval oracle only,
+    # c4_exact_solver.py:51-85): path to an .npz of exact-solver-labeled
+    # positions (tools/distill --labels_out format: obs (N,H,W,C), z (N,))
+    # whose EXACT game-theoretic values are mixed into every train step as
+    # an extra value-head MSE term. Motivation: with z in {-1,0,1} outcome
+    # targets the value head's optimum is E[z|s], fractionally compressed
+    # under sampling-noisy self-play; the same architecture reaches 0.682
+    # held-out value accuracy on exact labels vs 0.247 from outcomes
+    # (TRAINING.md, results/logs/distill_value.log round 3). Empty = off.
+    solver_labels_path: str = ""
+    solver_value_weight: float = 0.25
+    solver_value_batch: int = 256
 
 
 @dataclass(frozen=True)

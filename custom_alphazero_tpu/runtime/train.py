@@ -42,6 +42,9 @@ class TrainMetrics(NamedTuple):
     l2: jnp.ndarray
     learning_rate: jnp.ndarray
     steps: jnp.ndarray
+    # Auxiliary solver-value MSE (0 when the aux target is off,
+    # LoopConfig.solver_labels_path).
+    solver_value_loss: jnp.ndarray = jnp.float32(0.0)
 
 
 def init_train_state(
@@ -60,13 +63,22 @@ def init_train_state(
 
 
 def make_train_step(
-    net: PolicyValueNet, cfg: ModelConfig
-) -> Callable[[TrainState, jnp.ndarray, jnp.ndarray, jnp.ndarray],
-              Tuple[TrainState, TrainMetrics]]:
+    net: PolicyValueNet, cfg: ModelConfig, aux_value_weight: float = 0.0,
+    aux_value_batch: int = 256,
+) -> Callable[..., Tuple[TrainState, TrainMetrics]]:
+    """The jit-pure gradient step. With ``aux_value_weight > 0`` the
+    returned step takes three extra args — ``(rng, aux_obs, aux_z)``, the
+    full device-resident solver-labeled arrays (LoopConfig
+    .solver_labels_path) — and adds ``weight * MSE(value(aux_batch),
+    exact_z)`` to the loss, drawing a fresh uniform row subset each step.
+    The aux forward runs in eval mode (no batch_stats mutation): the
+    labeled set's distribution must not steer the BN running stats that
+    self-play inference uses."""
     optimizer = make_optimizer(cfg)
     schedule = learning_rate_schedule(cfg)
 
-    def train_step(state: TrainState, obs, target_pi, target_z):
+    def train_step(state: TrainState, obs, target_pi, target_z,
+                   rng=None, aux_obs=None, aux_z=None):
         def loss_fn(params):
             (logits, value), mutated = net.apply(
                 {"params": params, "batch_stats": state.batch_stats},
@@ -77,9 +89,21 @@ def make_train_step(
             lp = policy_loss(logits, target_pi)
             lv = value_loss(value, target_z)
             l2 = l2_penalty(params, cfg.l2)
-            return lp + lv + l2, (lp, lv, l2, mutated["batch_stats"])
+            laux = jnp.float32(0.0)
+            if aux_value_weight > 0.0:
+                n = aux_obs.shape[0]
+                k = min(n, aux_value_batch)
+                idx = jax.random.randint(rng, (k,), 0, n)
+                _, aux_value = net.apply(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    jnp.take(aux_obs, idx, axis=0),
+                    train=False,
+                )
+                laux = value_loss(aux_value, jnp.take(aux_z, idx, axis=0))
+            total = lp + lv + l2 + aux_value_weight * laux
+            return total, (lp, lv, l2, laux, mutated["batch_stats"])
 
-        (loss, (lp, lv, l2, batch_stats)), grads = jax.value_and_grad(
+        (loss, (lp, lv, l2, laux, batch_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
@@ -93,6 +117,7 @@ def make_train_step(
         metrics = TrainMetrics(
             loss=loss, policy_loss=lp, value_loss=lv, l2=l2,
             learning_rate=schedule(state.steps), steps=new_state.steps,
+            solver_value_loss=laux,
         )
         return new_state, metrics
 

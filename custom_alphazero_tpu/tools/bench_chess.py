@@ -87,9 +87,12 @@ if __name__ == "__main__":
             topk = int(a.split("=", 1)[1])
             continue
         if not a.isdigit() or int(a) < 1:
-            raise SystemExit(
-                f"bad batch size {a!r}\nusage: bench_chess [--sims=N] "
-                "[--topk=K] [B1 B2 ...] (positive ints; default 64 256 1024)"
+            from custom_alphazero_tpu.tools.cli import usage_error
+
+            raise usage_error(
+                f"bad batch size {a!r}",
+                "usage: bench_chess [--sims=N] [--topk=K] [B1 B2 ...] "
+                "(positive ints; default 64 256 1024)",
             )
         sizes.append(int(a))
     sizes = sizes or [64, 256, 1024]
