@@ -545,15 +545,16 @@ class FusedConnectNSearch:
                 axis=-1,
             )
 
-        # Presampled root Dirichlet noise, SAME RNG stream as the general
-        # path (search/mcts.py::search): one split for the (S, B, A) gamma
-        # block before the loop, one (unused-result) split per wave. Fused
-        # wave wv's select corresponds to general sim i=wv, so gamma is
-        # indexed by wv (the extra pipeline-drain wave S clamps to S-1; its
-        # select result is discarded).
-        rng, k_all_noise = jax.random.split(rng)
-        all_noise = self._mcts.presample_noise(k_all_noise, simulations,
-                                               batch)
+        # Root Dirichlet noise, SAME RNG stream as the general path
+        # (search/mcts.py::search): one split for the plan key before the
+        # loop, one (unused-result) split per wave, per-wave fold_in
+        # draws (noise_plan/wave_noise — jax.random.gamma and (S, B, A)
+        # presample blocks both kernel-fault the TPU at chess scale).
+        # Fused wave wv's select corresponds to general sim i=wv, so the
+        # draw is folded on wv (the extra pipeline-drain wave S clamps to
+        # S-1; its select result is discarded).
+        rng, k_noise_plan = jax.random.split(rng)
+        noise_plan = self._mcts.noise_plan(k_noise_plan)
 
         def wave(wv, state):
             carry, leaf_board, probs, value, rng, root_prior = state
@@ -567,12 +568,8 @@ class FusedConnectNSearch:
             root_prior = jnp.where(
                 ((wv == 1) & root_live)[:, None], renormed, root_prior
             )
-            wave_gamma = (
-                jax.lax.dynamic_index_in_dim(
-                    all_noise, jnp.minimum(wv, simulations - 1),
-                    axis=0, keepdims=False,
-                )
-                if all_noise is not None else None
+            wave_gamma = self._mcts.wave_noise(
+                noise_plan, jnp.minimum(wv, simulations - 1), batch
             )
             mixed = self._mcts._root_noisy_prior(
                 root_prior, knoise, gamma=wave_gamma

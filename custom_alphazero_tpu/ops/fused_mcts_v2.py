@@ -450,12 +450,11 @@ class FusedConnectNSearchV2:
                 axis=-1,
             )
 
-        # Presampled root Dirichlet noise, SAME RNG stream as the general
-        # path (see fused_mcts.py: one pre-loop split for the (S, B, A)
-        # gamma block, gamma indexed by wave, drain wave clamps to S-1).
-        rng, k_all_noise = jax.random.split(rng)
-        all_noise = self._mcts.presample_noise(k_all_noise, simulations,
-                                               batch)
+        # Root Dirichlet noise, SAME RNG stream as the general path (see
+        # fused_mcts.py: one pre-loop split for the plan key, per-wave
+        # fold_in draws, drain wave clamps to S-1).
+        rng, k_noise_plan = jax.random.split(rng)
+        noise_plan = self._mcts.noise_plan(k_noise_plan)
 
         def wave(wv, state):
             carry, leaf_board, probs, value, rng, root_prior = state
@@ -467,12 +466,8 @@ class FusedConnectNSearchV2:
             root_prior = jnp.where(
                 ((wv == 1) & root_live)[:, None], renormed, root_prior
             )
-            wave_gamma = (
-                jax.lax.dynamic_index_in_dim(
-                    all_noise, jnp.minimum(wv, simulations - 1),
-                    axis=0, keepdims=False,
-                )
-                if all_noise is not None else None
+            wave_gamma = self._mcts.wave_noise(
+                noise_plan, jnp.minimum(wv, simulations - 1), batch
             )
             mixed = self._mcts._root_noisy_prior(
                 root_prior, knoise, gamma=wave_gamma

@@ -297,22 +297,40 @@ class MCTS:
         )
         return jnp.where(legal, jnp.maximum(renormed, 1e-35), 0.0)
 
-    def presample_noise(self, rng, simulations: int, batch: int):
-        """(S, B, A) gamma draws for every simulation's root Dirichlet mix,
-        sampled in ONE call BEFORE the simulation loop. Sampling inside the
-        loop kernel-faults the TPU worker at chess scale on this toolchain
-        (B >= 128, A = 1968: the rejection sampler's internal while loop
-        miscompiles when embedded in the search program — the identical
-        program without noise, and this standalone-shaped presample, both
-        run; optimization_barrier fencing did NOT fix it, so the sampler is
-        hoisted out entirely). Also per-wave cheaper: one batched sample
-        replaces S sequential ones. RNG stream differs from per-wave
-        sampling; noise tests assert statistics, not draws."""
+    def noise_plan(self, rng):
+        """The per-search root-noise RNG plan: a single key from which
+        every wave's Dirichlet draw derives by ``fold_in(plan, wave)``
+        (wave_noise). General and fused search paths derive from the SAME
+        plan, so their root statistics stay bit-identical under noise
+        (tests/test_fused_mcts.py).
+
+        History of this design: the reference samples noise per simulation
+        (mcts.py:70-85). ``jax.random.gamma``'s rejection while_loop
+        kernel-faults the TPU worker embedded in the search program
+        (round 3, chess B >= 128 per-wave). Round 3 hoisted one (S, B, A)
+        presample before the loop — which still faulted at EVERY chess
+        batch size with the presample inside the generation ply scan, and
+        so did the same block drawn by a fixed-iteration sampler (round-4
+        probes: B=64 + noise crashes the worker, noise-off runs at 174k
+        sims/s — the (ATTEMPTS, S, B, A) sampler temporaries reach ~800 MB
+        per ply at chess scale). Per-wave (B, A) draws from a bounded-
+        iteration sampler (ops/rng.py safe_gamma, no data-dependent
+        control flow) keep both the while_loop and the giant temporaries
+        out of the program."""
         if not self.cfg.use_dirichlet:
             return None
-        return jax.random.gamma(
-            rng, self.cfg.dirichlet_alpha,
-            (simulations, batch, self.env.num_actions),
+        return rng
+
+    def wave_noise(self, plan, wave, batch: int):
+        """This wave's (B, A) root Dirichlet gamma draw (or None).
+        ``wave`` may be traced (a loop index); fold_in is trace-safe."""
+        if plan is None:
+            return None
+        from custom_alphazero_tpu.ops.rng import safe_gamma
+
+        return safe_gamma(
+            jax.random.fold_in(plan, wave), self.cfg.dirichlet_alpha,
+            (batch, self.env.num_actions),
         )
 
     def _root_noisy_prior(self, root_prior, rng, gamma=None):
@@ -492,10 +510,11 @@ class MCTS:
                             cur)
             return jax.lax.dynamic_update_slice(arr, val, (0, col))
 
-        # Root Dirichlet noise for every wave, sampled BEFORE the loop
-        # (see presample_noise: in-loop gamma kernel-faults at chess scale).
-        rng, k_all_noise = jax.random.split(rng)
-        all_noise = self.presample_noise(k_all_noise, simulations, batch)
+        # Root Dirichlet noise: one plan key, per-wave fold_in draws
+        # (see noise_plan: both jax.random.gamma and a big presampled
+        # block kernel-fault the TPU at chess scale).
+        rng, k_noise_plan = jax.random.split(rng)
+        noise_plan = self.noise_plan(k_noise_plan)
 
         # ---- the simulation wave -------------------------------------------
         def sim_body(i, carry):
@@ -504,12 +523,7 @@ class MCTS:
             raw_root_prior = (
                 tree.root_prior if compressed else tree.prior[:, 0]
             )
-            wave_gamma = (
-                jax.lax.dynamic_index_in_dim(
-                    all_noise, i, axis=0, keepdims=False
-                )
-                if all_noise is not None else None
-            )
+            wave_gamma = self.wave_noise(noise_plan, i, batch)
             root_prior = self._root_noisy_prior(
                 raw_root_prior, knoise, gamma=wave_gamma
             )
@@ -664,17 +678,23 @@ class MCTS:
                 a0 = jnp.argmax(legal, axis=-1)  # lowest legal index
                 a0_oh = (jnp.arange(a)[None, :] == a0[:, None])
                 boosted = renormed + a0_oh.astype(jnp.float32) * 2.0
-                # On TPU, keep the sort OUT of the surrounding loop-body
-                # fusion with optimization_barrier: fused, the TPU sort
-                # emitter produces an overlapping reduce-window (window 8 /
-                # stride 1) that this toolchain's fusion emitter
-                # CHECK-fails on at K >= ~128, after minutes of
+                # On TPU at K >= 128, keep the sort OUT of the surrounding
+                # loop-body fusion with optimization_barrier: fused, the
+                # TPU sort emitter produces an overlapping reduce-window
+                # (window 8 / stride 1) that this toolchain's fusion
+                # emitter CHECK-fails on at K >= ~128, after minutes of
                 # pathological compile time (fusion_emitter.cc:4273;
                 # PARITY.md round 2-3). Standalone, the same top_k
                 # compiles in seconds and runs in ~0.05 ms. Backend-gated
                 # (_tpu_backend) because the barrier itself aborts the CPU
-                # backend's compiler inside shard_map programs.
-                if _tpu_backend():
+                # backend's compiler inside shard_map programs, and
+                # K-gated because below the CHECK threshold the barrier is
+                # not needed — and a barrier INSIDE the generation ply
+                # scan combined with root-noise sampling kernel-faults the
+                # TPU worker (round-4 probe: chess B=64 sims=100 + noise
+                # crashes with the barrier, runs at ~56k+ sims/s without
+                # it — the r3-validated program shape).
+                if _tpu_backend() and k >= 128:
                     top_vals, top_acts = jax.lax.optimization_barrier(
                         jax.lax.top_k(
                             jax.lax.optimization_barrier(boosted), k
