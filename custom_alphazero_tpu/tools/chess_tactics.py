@@ -123,6 +123,157 @@ def generate_tactics(
     return {"positions": total, "path": path}
 
 
+def generate_mate_in_2(
+    path: str,
+    positions: int = 200,
+    seed: int = 0,
+    batch: int = 128,
+    max_plies: int = 160,
+    screen_limit: int = 50_000,
+) -> dict:
+    """Engine-labeled forced mate-in-2 set (VERDICT r3 weak #7: mate-in-1
+    was the only absolute chess metric; a 2-ply-lookahead set separates
+    one-move pattern matching from real calculation).
+
+    A position enters the set when the mover has NO mate-in-1 but at
+    least one move m such that EVERY opponent reply leaves a mate-in-1
+    (replies that end the game themselves refute m). Labels are all such
+    m. Labeling is exact 2-ply search over ``env.step`` — the engine's
+    own rules are the oracle, same contract as mate-in-1 screening.
+
+    Saved arrays: the state_from_arrays fields + (P, A) legal and
+    mate2_mask. ``screen_limit`` bounds the env.step budget per random
+    position batch (the full 3-ply expansion is ~35^3 steps/position)."""
+    env = Chess(ChessConfig())
+    rng = jax.random.PRNGKey(seed)
+
+    init = jax.vmap(lambda _: env.init())(jnp.arange(batch))
+    legal_fn = jax.jit(jax.vmap(env.legal_mask))
+    step_fn = jax.jit(jax.vmap(env.step))
+
+    @jax.jit
+    def random_step(state, key):
+        legal = jax.vmap(env.legal_mask)(state)
+        logits = jnp.where(legal, 0.0, -1e9)
+        action = jax.random.categorical(key, logits, axis=-1)
+        nxt, _ = jax.vmap(env.step)(state, action.astype(jnp.int32))
+        keep = state.terminal
+        return jax.tree.map(
+            lambda c, n: jnp.where(
+                keep.reshape((-1,) + (1,) * (n.ndim - 1)), c, n
+            ),
+            state, nxt,
+        )
+
+    PAD = 128  # fixed expansion width: one jit shape for every node
+
+    def expand(host_states, idx, actions):
+        """step states[idx[i]] with actions[i] -> host children + legal.
+        Padded to PAD rows (repeating row 0) so step_fn compiles once."""
+        n = len(actions)
+        idx = np.asarray(
+            list(idx) + [idx[0]] * (PAD - n), np.int32
+        )
+        actions = np.asarray(
+            list(actions) + [actions[0]] * (PAD - n), np.int32
+        )
+        sub = jax.tree.map(
+            lambda l: jnp.asarray(np.asarray(l)[idx]), host_states
+        )
+        child, _ = step_fn(sub, jnp.asarray(actions))
+        legal = np.asarray(legal_fn(child))[:n]
+        return jax.tree.map(lambda x: np.asarray(x)[:n],
+                            jax.device_get(child)), legal
+
+    def rows(host, i):
+        return jax.tree.map(lambda l: np.asarray(l)[i], host)
+
+    found = {k: [] for k in
+             ("board", "castling", "ep_file", "halfmove", "fullmove")}
+    mate2_masks, legal_masks = [], []
+    state = init
+    total = 0
+    for ply in range(max_plies):
+        if total >= positions:
+            break
+        if ply % 10 == 0:
+            print(f"tactics2: ply {ply}, {total}/{positions} found",
+                  flush=True)
+        rng, k = jax.random.split(rng)
+        state = random_step(state, k)
+        active = ~np.asarray(state.terminal)
+        if not active.any():
+            state = init
+            continue
+        legal = np.asarray(legal_fn(state))
+        host = jax.device_get(state)
+        for g in np.nonzero(active)[0]:
+            if total >= positions:
+                break
+            acts1 = np.nonzero(legal[g])[0]
+            if (len(acts1) == 0 or len(acts1) > PAD
+                    or len(acts1) ** 3 > screen_limit):
+                continue
+            base = rows(host, g)
+            l1, l1_legal = expand(
+                jax.tree.map(lambda x: x[None], base),
+                np.zeros(len(acts1), np.int32), acts1,
+            )
+            l1_term = np.asarray(l1.terminal)
+            l1_won = np.asarray(l1.won)
+            if (l1_term & l1_won).any():
+                continue  # has a mate-in-1: not a mate-in-2-proper position
+            mate2 = np.zeros((env.num_actions,), bool)
+            for mi, m in enumerate(acts1):
+                if l1_term[mi]:
+                    continue  # game ended (draw) — not a mating line
+                c = rows(l1, mi)
+                acts2 = np.nonzero(l1_legal[mi])[0]
+                if len(acts2) == 0 or len(acts2) > PAD:
+                    continue
+                l2, l2_legal = expand(
+                    jax.tree.map(lambda x: x[None], c),
+                    np.zeros(len(acts2), np.int32), acts2,
+                )
+                l2_term = np.asarray(l2.terminal)
+                l2_won = np.asarray(l2.won)
+                if l2_term.any():
+                    continue  # some reply ends the game: refutes m
+                # Every reply d must leave the mover a mate-in-1 in d.
+                all_mated = True
+                for ri in range(len(acts2)):
+                    d = rows(l2, ri)
+                    acts3 = np.nonzero(l2_legal[ri])[0]
+                    if len(acts3) == 0 or len(acts3) > PAD:
+                        all_mated = False
+                        break
+                    l3, _ = expand(
+                        jax.tree.map(lambda x: x[None], d),
+                        np.zeros(len(acts3), np.int32), acts3,
+                    )
+                    if not (np.asarray(l3.terminal)
+                            & np.asarray(l3.won)).any():
+                        all_mated = False
+                        break
+                if all_mated:
+                    mate2[m] = True
+            if mate2.any():
+                for key in found:
+                    found[key].append(np.asarray(getattr(host, key))[g])
+                mate2_masks.append(mate2)
+                legal_masks.append(legal[g])
+                total += 1
+    arrays = {k: np.stack(v) for k, v in found.items()}
+    arrays["mate2_mask"] = np.stack(mate2_masks)
+    arrays["legal_mask"] = np.stack(legal_masks)
+    np.savez_compressed(path, **arrays)
+    print(f"tactics2: {total} mate-in-2 positions -> {path} "
+          f"(mean mating moves {arrays['mate2_mask'].sum(1).mean():.2f}, "
+          f"mean legal {arrays['legal_mask'].sum(1).mean():.1f})",
+          flush=True)
+    return {"positions": total, "path": path}
+
+
 def states_from_npz(env: Chess, data) -> list:
     states = []
     for i in range(data["board"].shape[0]):
@@ -147,7 +298,11 @@ def evaluate_tactics(
     env = Chess(ChessConfig())
     data = np.load(labels_npz)
     states = states_from_npz(env, data)
-    mate_mask = data["mate_mask"]
+    # mate-in-1 sets store mate_mask; mate-in-2 sets store mate2_mask
+    # (generate_mate_in_2) — scoring is identical: the chosen move must
+    # be a labeled mating/forced-mating move.
+    key = "mate_mask" if "mate_mask" in data else "mate2_mask"
+    mate_mask = data[key]
     legal_mask = data["legal_mask"]
     hits, rand_base = [], []
     if use_mcts:
@@ -195,6 +350,12 @@ def main(argv=None):
         return generate_tactics(
             args["--generate"],
             positions=int(args.get("--positions", 500)),
+            seed=int(args.get("--seed", 0)),
+        )
+    if "--generate2" in args:
+        return generate_mate_in_2(
+            args["--generate2"],
+            positions=int(args.get("--positions", 200)),
             seed=int(args.get("--seed", 0)),
         )
     from custom_alphazero_tpu.tools.strength import load_run_model
