@@ -129,64 +129,70 @@ def generate_mate_in_2(
     seed: int = 0,
     batch: int = 128,
     max_plies: int = 160,
-    screen_limit: int = 50_000,
 ) -> dict:
     """Engine-labeled forced mate-in-2 set (VERDICT r3 weak #7: mate-in-1
     was the only absolute chess metric; a 2-ply-lookahead set separates
     one-move pattern matching from real calculation).
 
     A position enters the set when the mover has NO mate-in-1 but at
-    least one move m such that EVERY opponent reply leaves a mate-in-1
-    (replies that end the game themselves refute m). Labels are all such
-    m. Labeling is exact 2-ply search over ``env.step`` — the engine's
-    own rules are the oracle, same contract as mate-in-1 screening.
+    least one CHECKING move m such that every opponent reply leaves the
+    mover a mate-in-1 (a reply that ends the game itself — draw or
+    cross-mate — refutes m). Labels are all such m. Restricting first
+    moves to checks keeps the exact 3-ply expansion tractable (replies
+    while in check are few); quiet mate-in-2s (all-replies-fail without
+    check, rare in random positions) are deliberately out of scope —
+    the metric's random baseline is computed from the same labels, so
+    scoring stays consistent. Labeling is exact search over ``env.step``:
+    the engine's own rules are the oracle, same contract as mate-in-1.
 
-    Saved arrays: the state_from_arrays fields + (P, A) legal and
-    mate2_mask. ``screen_limit`` bounds the env.step budget per random
-    position batch (the full 3-ply expansion is ~35^3 steps/position)."""
+    Saved arrays: the state_from_arrays fields + (P, A) legal_mask and
+    mate2_mask."""
     env = Chess(ChessConfig())
     rng = jax.random.PRNGKey(seed)
+    CHUNK = 512
 
     init = jax.vmap(lambda _: env.init())(jnp.arange(batch))
-    legal_fn = jax.jit(jax.vmap(env.legal_mask))
     step_fn = jax.jit(jax.vmap(env.step))
 
     @jax.jit
     def random_step(state, key):
-        legal = jax.vmap(env.legal_mask)(state)
+        legal = state.legal
         logits = jnp.where(legal, 0.0, -1e9)
         action = jax.random.categorical(key, logits, axis=-1)
         nxt, _ = jax.vmap(env.step)(state, action.astype(jnp.int32))
-        keep = state.terminal
+        # Finished slots restart from the opening so the whole batch keeps
+        # producing candidate positions (mate-in-2s cluster in endgames;
+        # without the reset the active count decays over the rollout).
+        done = nxt.terminal
         return jax.tree.map(
-            lambda c, n: jnp.where(
-                keep.reshape((-1,) + (1,) * (n.ndim - 1)), c, n
+            lambda f, n: jnp.where(
+                done.reshape((-1,) + (1,) * (n.ndim - 1)), f, n
             ),
-            state, nxt,
+            init, nxt,
         )
 
-    PAD = 128  # fixed expansion width: one jit shape for every node
-
-    def expand(host_states, idx, actions):
-        """step states[idx[i]] with actions[i] -> host children + legal.
-        Padded to PAD rows (repeating row 0) so step_fn compiles once."""
+    def expand_pairs(host_states, owner_idx, actions):
+        """Step host_states[owner_idx[i]] with actions[i], chunked at a
+        fixed CHUNK width (one jit shape): returns the children as a host
+        pytree of stacked rows."""
         n = len(actions)
-        idx = np.asarray(
-            list(idx) + [idx[0]] * (PAD - n), np.int32
-        )
-        actions = np.asarray(
-            list(actions) + [actions[0]] * (PAD - n), np.int32
-        )
-        sub = jax.tree.map(
-            lambda l: jnp.asarray(np.asarray(l)[idx]), host_states
-        )
-        child, _ = step_fn(sub, jnp.asarray(actions))
-        legal = np.asarray(legal_fn(child))[:n]
-        return jax.tree.map(lambda x: np.asarray(x)[:n],
-                            jax.device_get(child)), legal
-
-    def rows(host, i):
-        return jax.tree.map(lambda l: np.asarray(l)[i], host)
+        outs = []
+        arrs = jax.tree.map(np.asarray, host_states)
+        for i0 in range(0, n, CHUNK):
+            idx = np.asarray(owner_idx[i0:i0 + CHUNK], np.int32)
+            act = np.asarray(actions[i0:i0 + CHUNK], np.int32)
+            m = len(idx)
+            if m < CHUNK:  # pad by repeating row 0 (masked off below)
+                idx = np.concatenate([idx, np.full(CHUNK - m, idx[0],
+                                                   np.int32)])
+                act = np.concatenate([act, np.full(CHUNK - m, act[0],
+                                                   np.int32)])
+            sub = jax.tree.map(lambda l: jnp.asarray(l[idx]), arrs)
+            child, _ = step_fn(sub, jnp.asarray(act))
+            outs.append(jax.tree.map(
+                lambda x: np.asarray(x)[:m], jax.device_get(child)
+            ))
+        return jax.tree.map(lambda *xs: np.concatenate(xs), *outs)
 
     found = {k: [] for k in
              ("board", "castling", "ep_file", "halfmove", "fullmove")}
@@ -201,68 +207,82 @@ def generate_mate_in_2(
                   flush=True)
         rng, k = jax.random.split(rng)
         state = random_step(state, k)
-        active = ~np.asarray(state.terminal)
+        host = jax.device_get(state)
+        active = ~np.asarray(host.terminal)
         if not active.any():
             state = init
             continue
-        legal = np.asarray(legal_fn(state))
-        host = jax.device_get(state)
+        legal = np.asarray(host.legal)
+
+        # L1: every legal move of every active game, one batched sweep.
+        own1, act1 = [], []
         for g in np.nonzero(active)[0]:
+            for a in np.nonzero(legal[g])[0]:
+                own1.append(g)
+                act1.append(a)
+        if not act1:
+            continue
+        l1 = expand_pairs(host, own1, act1)
+        own1 = np.asarray(own1)
+        act1 = np.asarray(act1)
+        l1_mate = np.asarray(l1.terminal) & np.asarray(l1.won)
+        has_mate1 = set(own1[l1_mate].tolist())
+        # Candidate first moves: checking, game not over, position has no
+        # mate-in-1.
+        cand = (~np.asarray(l1.terminal)) & np.asarray(l1.in_check) \
+            & ~np.isin(own1, list(has_mate1))
+        cidx = np.nonzero(cand)[0]
+        if len(cidx) == 0:
+            continue
+
+        # L2: all replies of every candidate child.
+        l1_legal = np.asarray(l1.legal)
+        own2, act2 = [], []   # own2 indexes into cidx rows
+        for ci, li in enumerate(cidx):
+            for r in np.nonzero(l1_legal[li])[0]:
+                own2.append(ci)
+                act2.append(r)
+        l1_sub = jax.tree.map(lambda x: np.asarray(x)[cidx], l1)
+        l2 = expand_pairs(l1_sub, own2, act2)
+        own2 = np.asarray(own2)
+        l2_term = np.asarray(l2.terminal)
+        # Any game-ending reply refutes its candidate move.
+        refuted = set(own2[l2_term].tolist())
+
+        # L3: for each surviving grandchild, does the mover have a
+        # mate-in-1? One batched sweep over every legal move.
+        keep2 = ~l2_term & ~np.isin(own2, list(refuted))
+        kidx = np.nonzero(keep2)[0]
+        mate1_ok = np.zeros(len(own2), bool)
+        if len(kidx):
+            l2_legal = np.asarray(l2.legal)
+            own3, act3 = [], []
+            for ki in kidx:
+                for a in np.nonzero(l2_legal[ki])[0]:
+                    own3.append(ki)
+                    act3.append(a)
+            l3 = expand_pairs(l2, own3, act3)
+            own3 = np.asarray(own3)
+            l3_mate = np.asarray(l3.terminal) & np.asarray(l3.won)
+            mate1_ok[np.unique(own3[l3_mate])] = True
+
+        # A candidate survives when every reply leaves a mate-in-1.
+        per_pos = {}
+        for ci in range(len(cidx)):
+            rows = np.nonzero(own2 == ci)[0]
+            if len(rows) and mate1_ok[rows].all():
+                g = int(own1[cidx[ci]])
+                per_pos.setdefault(g, []).append(int(act1[cidx[ci]]))
+        for g, moves in per_pos.items():
+            mask = np.zeros((env.num_actions,), bool)
+            mask[moves] = True
+            for key in found:
+                found[key].append(np.asarray(getattr(host, key))[g])
+            mate2_masks.append(mask)
+            legal_masks.append(legal[g])
+            total += 1
             if total >= positions:
                 break
-            acts1 = np.nonzero(legal[g])[0]
-            if (len(acts1) == 0 or len(acts1) > PAD
-                    or len(acts1) ** 3 > screen_limit):
-                continue
-            base = rows(host, g)
-            l1, l1_legal = expand(
-                jax.tree.map(lambda x: x[None], base),
-                np.zeros(len(acts1), np.int32), acts1,
-            )
-            l1_term = np.asarray(l1.terminal)
-            l1_won = np.asarray(l1.won)
-            if (l1_term & l1_won).any():
-                continue  # has a mate-in-1: not a mate-in-2-proper position
-            mate2 = np.zeros((env.num_actions,), bool)
-            for mi, m in enumerate(acts1):
-                if l1_term[mi]:
-                    continue  # game ended (draw) — not a mating line
-                c = rows(l1, mi)
-                acts2 = np.nonzero(l1_legal[mi])[0]
-                if len(acts2) == 0 or len(acts2) > PAD:
-                    continue
-                l2, l2_legal = expand(
-                    jax.tree.map(lambda x: x[None], c),
-                    np.zeros(len(acts2), np.int32), acts2,
-                )
-                l2_term = np.asarray(l2.terminal)
-                l2_won = np.asarray(l2.won)
-                if l2_term.any():
-                    continue  # some reply ends the game: refutes m
-                # Every reply d must leave the mover a mate-in-1 in d.
-                all_mated = True
-                for ri in range(len(acts2)):
-                    d = rows(l2, ri)
-                    acts3 = np.nonzero(l2_legal[ri])[0]
-                    if len(acts3) == 0 or len(acts3) > PAD:
-                        all_mated = False
-                        break
-                    l3, _ = expand(
-                        jax.tree.map(lambda x: x[None], d),
-                        np.zeros(len(acts3), np.int32), acts3,
-                    )
-                    if not (np.asarray(l3.terminal)
-                            & np.asarray(l3.won)).any():
-                        all_mated = False
-                        break
-                if all_mated:
-                    mate2[m] = True
-            if mate2.any():
-                for key in found:
-                    found[key].append(np.asarray(getattr(host, key))[g])
-                mate2_masks.append(mate2)
-                legal_masks.append(legal[g])
-                total += 1
     arrays = {k: np.stack(v) for k, v in found.items()}
     arrays["mate2_mask"] = np.stack(mate2_masks)
     arrays["legal_mask"] = np.stack(legal_masks)
