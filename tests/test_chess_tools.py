@@ -106,3 +106,44 @@ def test_play_vs_opponent_runs_and_scores():
     r2 = play_vs_opponent(env, ev, opponent="greedy", games=4, sims=12,
                           seed=1, max_plies=60)
     assert r2["games"] == 4
+
+
+def test_generate_mate_in_2_labels_force_mate(tmp_path):
+    """Every labeled mate-in-2 move must be verified by replay: it gives
+    check, no opponent reply ends the game, and every reply leaves the
+    mover at least one mating move (generate_mate_in_2 semantics)."""
+    from custom_alphazero_tpu.tools.chess_tactics import generate_mate_in_2
+
+    env = Chess(ChessConfig())
+    path = str(tmp_path / "mate2.npz")
+    out = generate_mate_in_2(path, positions=2, seed=11, batch=48,
+                             max_plies=400)
+    assert out["positions"] >= 2
+    data = np.load(path)
+    states = states_from_npz(env, data)
+    step = jax.jit(env.step)
+
+    def legal_of(st):
+        return np.nonzero(np.asarray(st.legal))[0]
+
+    for i, st in enumerate(states[:2]):
+        moves = np.nonzero(data["mate2_mask"][i])[0]
+        assert len(moves) >= 1
+        # The position has no mate-in-1.
+        for a in legal_of(st):
+            child, _ = step(st, jnp.int32(int(a)))
+            assert not (bool(child.terminal) and bool(child.won))
+        for m in moves:
+            c, _ = step(st, jnp.int32(int(m)))
+            assert bool(c.in_check) and not bool(c.terminal)
+            replies = legal_of(c)
+            assert len(replies) >= 1
+            for r in replies:
+                d, _ = step(c, jnp.int32(int(r)))
+                assert not bool(d.terminal)
+                mates = 0
+                for a2 in legal_of(d):
+                    e, _ = step(d, jnp.int32(int(a2)))
+                    if bool(e.terminal) and bool(e.won):
+                        mates += 1
+                assert mates >= 1
