@@ -43,8 +43,11 @@ class TrainMetrics(NamedTuple):
     learning_rate: jnp.ndarray
     steps: jnp.ndarray
     # Auxiliary solver-value MSE (0 when the aux target is off,
-    # LoopConfig.solver_labels_path).
-    solver_value_loss: jnp.ndarray = jnp.float32(0.0)
+    # LoopConfig.solver_labels_path). Default is a HOST scalar on
+    # purpose: a jnp scalar here would initialize an XLA backend at
+    # import time, which breaks jax.distributed.initialize ordering in
+    # multi-process entrypoints (tests/test_multihost.py).
+    solver_value_loss: Any = 0.0
 
 
 def init_train_state(

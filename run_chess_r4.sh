@@ -24,6 +24,6 @@ exec python -m custom_alphazero_tpu.runtime.supervisor \
   --replay.capacity=100000 --replay.min_size=4000 --replay.policy_topk=128 \
   --loop.train_iterations_per_generation=16 \
   --loop.samples_checkpoint_frequency=0 --loop.visualize_frequency=0 \
-  --arena.games=64 --arena.evaluation_frequency=400 \
+  --arena.games=64 --arena.evaluation_frequency=400 --arena.promote_threshold=0.0 \
   --arena.checkpoint_frequency=400 \
   --run.run_id=chess-r4
