@@ -97,7 +97,7 @@ def make_selfplay_fn(
         )
     assert not (fused and reuse), "fused search builds fresh trees per move"
     assert not (gumbel and (reuse or fused)), (
-        "gumbel search uses fresh full-width trees"
+        "gumbel search uses fresh trees (no reuse, no fused kernel)"
     )
     if gumbel:
         from custom_alphazero_tpu.search.gumbel import GumbelMCTS

@@ -137,3 +137,41 @@ def test_selfplay_gumbel_generates_valid_samples():
     assert set(np.unique(np.abs(np.round(z, 6)))) <= {0.0, 1.0}
     # The improved-policy target is dense (not a visit-count one-hot).
     assert (np.count_nonzero(pi, axis=-1) > 1).mean() > 0.5
+
+
+def test_gumbel_compressed_matches_full_width_chess():
+    """Top-K compressed Gumbel (round 5: the chess-scale in-loop fix) must
+    match the full-width path when K covers every node's legal set: same
+    final action, same root visit distribution, same improved policy."""
+    from custom_alphazero_tpu.config import ChessConfig
+    from custom_alphazero_tpu.envs.chess.engine import Chess
+    from tests.test_topk_search import _pseudo_net
+
+    env = Chess(ChessConfig())
+    s0 = env.init()
+    legal0 = np.nonzero(np.asarray(env.legal_mask(s0)))[0]
+    s1, _ = env.step(s0, jnp.int32(int(legal0[0])))
+    states = jax.tree.map(lambda a, b: jnp.stack([a, b]), s0, s1)
+    sims, m = 24, 8
+    evaluate = _pseudo_net(env)
+
+    outs = {}
+    for label, topk in [("full", -1), ("comp", 64)]:
+        cfg = MCTSConfig(
+            simulations=sims, use_dirichlet=False, use_gumbel=True,
+            gumbel_max_considered=m, topk_actions=topk,
+        )
+        gm = GumbelMCTS(env, cfg)
+        assert (gm.prior_width(sims) < env.num_actions) == (topk > 0)
+        tree, action, pi = jax.jit(
+            lambda rs, k, gm=gm: gm.search_select(rs, evaluate, k, sims)
+        )(states, jax.random.PRNGKey(3))
+        outs[label] = (
+            np.asarray(action),
+            np.asarray(gm.root_child_visits(tree)),
+            np.asarray(pi),
+        )
+
+    np.testing.assert_array_equal(outs["full"][0], outs["comp"][0])
+    np.testing.assert_array_equal(outs["full"][1], outs["comp"][1])
+    np.testing.assert_allclose(outs["full"][2], outs["comp"][2], atol=1e-5)
