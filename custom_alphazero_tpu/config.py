@@ -163,6 +163,18 @@ class ArenaConfig:
     evaluate_with_mcts: bool = False
     evaluate_with_solver: bool = False
     deterministic: bool = False
+    # Draw-heavy-arena gate (round 5; the reference gate's blind spot at
+    # chess scale, VERDICT r4 weak #2): score = wins/decisives judges a
+    # 2-decisive series as confidently as a 100-decisive one, so with
+    # 52-62 draws of 64 games a 0.55 gate never fires and self-play data
+    # comes from the random-init incumbent forever (TRAINING.md chess-r4
+    # leg 1). With min_decisives > 0, a series with fewer decisive games
+    # is INCONCLUSIVE: promote_when_inconclusive decides it (True =
+    # AlphaZero-2017 continuous-improvement default for the fresher net,
+    # False = keep the incumbent). 0 preserves reference semantics
+    # (evaluate.py:106-131) exactly.
+    min_decisives: int = 0
+    promote_when_inconclusive: bool = False
 
 
 @dataclass(frozen=True)
@@ -205,6 +217,14 @@ class LoopConfig:
     # (TRAINING.md, results/logs/distill_value.log round 3). Empty = off.
     solver_labels_path: str = ""
     solver_value_weight: float = 0.25
+    # Sample-reuse guardrail (round 5, VERDICT r4 weak #4): the loop
+    # emits train/sample_reuse = trained samples / fresh samples per
+    # generation and warns when it exceeds 1. With max_sample_reuse > 0,
+    # the per-generation train iterations are additionally clamped so
+    # reuse stays <= the bound (at least 1 iteration) — the guardrail
+    # that would have caught c4-r4 leg 2's silent 0.45->0.36 regression
+    # (32 iters/gen against ~5.8k fresh samples). 0 = warn only.
+    max_sample_reuse: float = 0.0
     solver_value_batch: int = 256
 
 

@@ -18,7 +18,8 @@ what the MXU/VPU toolchain compiles well):
   log u < x^2/2 + d - d v + d log v; take the FIRST accepted candidate.
   Acceptance is >= 95% per draw for alpha >= 1, so K attempts leave a
   residual miss probability <= 0.05^K (K=8: ~4e-11); misses fall back to
-  the mean (d) — statistically invisible, and noise-grade anyway.
+  d = alpha - 1/3 (near the Gamma mode, not the mean alpha) —
+  statistically invisible, and noise-grade anyway.
 - alpha < 1 (the chess regime, 0.03-0.3): boost via Gamma(alpha+1) and
   the power transform G * U^(1/alpha) (Marsaglia-Tsang boosting lemma).
 
@@ -67,7 +68,7 @@ def safe_gamma(rng, alpha: float, shape) -> jnp.ndarray:
     # jnp.where chains (take_along_axis/argmax selection lowers to a
     # gather, which inside the generation ply scan kernel-faults the TPU
     # worker on this toolchain; round-4 probe).
-    g = jnp.full(shape, d, jnp.float32)  # mean fallback, P ~ 0.05^K
+    g = jnp.full(shape, d, jnp.float32)  # near-mode fallback, P ~ 0.05^K
     for j in range(ATTEMPTS - 1, -1, -1):
         kj = jax.random.fold_in(k_mt, j)
         x = jax.random.normal(kj, shape)

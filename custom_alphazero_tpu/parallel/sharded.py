@@ -234,10 +234,20 @@ def make_sharded_arena(
     local_games = -(-num_games // dp)  # ceil
     local_games += local_games % 2     # even per-shard starter split
     if local_games * dp != num_games:
+        total = local_games * dp
         print(
-            f"arena: {num_games} games round up to {local_games * dp} "
+            f"arena: {num_games} games round up to {total} "
             f"({local_games}/shard, even) to shard over dp={dp}"
         )
+        if total > 2 * num_games:
+            # ADVICE r4: small requested counts can inflate substantially
+            # (e.g. 4 games over dp=8 -> 16); promotion scores the
+            # inflated set, so make the distortion loud.
+            print(
+                f"arena: WARNING inflated game count {total} > 2x the "
+                f"requested {num_games}; raise arena.games to a multiple "
+                f"of 2*dp to avoid the distortion"
+            )
 
     def local_arena(cand_params, cand_stats, best_params, best_stats, keys):
         res = arena(

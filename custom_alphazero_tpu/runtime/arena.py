@@ -174,9 +174,20 @@ def make_arena_fn(
             wins.astype(jnp.float32) / jnp.maximum(decisive, 1).astype(jnp.float32),
             0.5,
         ).astype(jnp.float32)
+        # Draw-heavy gate (ArenaConfig.min_decisives): a series with too
+        # few decisive games is inconclusive — wins/decisives over 2
+        # games carries no evidence — and promote_when_inconclusive
+        # decides it instead of the threshold. min_decisives = 0 is the
+        # reference gate exactly (evaluate.py:106-131).
+        conclusive = decisive >= arena_cfg.min_decisives
+        promote = jnp.where(
+            conclusive,
+            score >= arena_cfg.promote_threshold,
+            bool(arena_cfg.promote_when_inconclusive),
+        )
         return ArenaResult(
             score=score,
-            promote=score >= arena_cfg.promote_threshold,
+            promote=promote,
             wins=wins,
             losses=losses,
             draws=draws,

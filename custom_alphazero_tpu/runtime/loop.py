@@ -136,6 +136,27 @@ class Learner:
         # not jax.default_backend(): a CPU dryrun mesh can coexist with a
         # visible TPU plugin.
         platform = self.mesh.devices.flat[0].platform
+        # Config-time guard (ADVICE r4): on the TPU backend, PUCT search
+        # with root Dirichlet noise at compressed tree width K >= 128 is
+        # un-runnable either way — the expansion top_k at K >= 128 needs
+        # an optimization_barrier to dodge a fusion-emitter CHECK-fail,
+        # and that barrier inside the generation ply scan combined with
+        # noise sampling kernel-faults the worker (PARITY.md rounds 2-4).
+        # Reject it here with a clear error instead of a mid-run crash.
+        if platform == "tpu" and cfg.mcts.use_dirichlet and (
+            not cfg.mcts.use_gumbel
+        ):
+            from custom_alphazero_tpu.search.mcts import MCTS
+
+            _k = MCTS(self.env, cfg.mcts).prior_width(cfg.mcts.simulations)
+            if _k >= 128 and _k < self.env.num_actions:
+                raise ValueError(
+                    f"mcts: compressed tree width K={_k} >= 128 with "
+                    "use_dirichlet on the TPU backend kernel-faults "
+                    "(PARITY.md rounds 2-4). Lower mcts.simulations / "
+                    "mcts.topk_actions below 128, disable noise, or use "
+                    "mcts.use_gumbel=true."
+                )
         self.codec = (
             codec_for_env(self.env) if cfg.replay.compress_obs else None
         )
@@ -575,7 +596,44 @@ def run(cfg: Config, generations: Optional[int] = None) -> dict:
         min_shard = int(jax.device_get(replay.size.min()))
         local_batch = cfg.model.batch_size // learner.dp
         if total_size >= warmup and min_shard >= local_batch:
-            for _ in range(cfg.loop.train_iterations_per_generation):
+            # Sample-reuse guardrail (LoopConfig.max_sample_reuse): reuse =
+            # trained samples / fresh samples this generation. Above 1 the
+            # replay ring turns over slower than the trainer consumes it —
+            # the silent regression class of TRAINING.md c4-r4 leg 2.
+            train_iters = cfg.loop.train_iterations_per_generation
+            reuse_planned = (
+                train_iters * cfg.model.batch_size / max(samples, 1)
+            )
+            if cfg.loop.max_sample_reuse > 0 and (
+                reuse_planned > cfg.loop.max_sample_reuse
+            ):
+                train_iters = max(
+                    int(
+                        cfg.loop.max_sample_reuse * samples
+                        // cfg.model.batch_size
+                    ),
+                    1,
+                )
+                if coordinator:
+                    print(
+                        f"[gen {generation}] sample reuse "
+                        f"{reuse_planned:.2f} > max_sample_reuse="
+                        f"{cfg.loop.max_sample_reuse:g}; clamping to "
+                        f"{train_iters} train iterations"
+                    )
+            reuse = train_iters * cfg.model.batch_size / max(samples, 1)
+            if coordinator and reuse > 1.0 and not (
+                cfg.loop.max_sample_reuse > 0
+            ):
+                print(
+                    f"[gen {generation}] WARNING: sample reuse "
+                    f"{reuse:.2f} > 1 (replay turnover below 1; set "
+                    "loop.max_sample_reuse or lower "
+                    "loop.train_iterations_per_generation)"
+                )
+            if metrics is not None:
+                metrics.scalar("train/sample_reuse", reuse, iteration)
+            for _ in range(train_iters):
                 rng, k_batch = jax.random.split(rng)
                 obs_b, pi_b, z_b = learner.replay_sample(replay, k_batch)
                 if learner.solver_labels is not None:

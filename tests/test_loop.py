@@ -156,3 +156,40 @@ def test_loop_with_solver_aux_value_target(tmp_path):
     learner = Learner(cfg)
     assert learner.solver_labels is not None
     assert learner.solver_labels[0].shape == (64, 6, 7, 4)
+
+
+def test_sample_reuse_guardrail_clamps_and_reports(tmp_path):
+    """LoopConfig.max_sample_reuse (round 5, VERDICT r4 weak #4): with a
+    train/generate ratio that would push sample reuse way above 1 (the
+    c4-r4 leg-2 silent regression), the loop clamps the per-generation
+    train iterations to the bound and reports train/sample_reuse in the
+    metrics stream."""
+    import json
+    import os
+
+    from custom_alphazero_tpu import paths
+    from custom_alphazero_tpu.runtime.loop import run
+
+    cfg = _tiny_cfg(tmp_path, "reuse1", 2)
+    cfg = apply_overrides(cfg, {
+        # 50 iters x 16 batch = 800 trained samples/gen against ~100-200
+        # fresh ones: reuse would be ~4-8 unclamped.
+        "loop.train_iterations_per_generation": "50",
+        "loop.max_sample_reuse": "1.0",
+        "arena.evaluation_frequency": "0",
+        "arena.checkpoint_frequency": "0",
+    })
+    summary = run(cfg)
+    assert 2 <= summary["iterations"] < 100  # clamped well below 2 x 50
+
+    jsonl = os.path.join(
+        paths.tensorboard_path(str(tmp_path), "connect_n", "reuse1"),
+        "metrics.jsonl",
+    )
+    reuse_values = [
+        json.loads(line)["value"]
+        for line in open(jsonl)
+        if json.loads(line)["tag"] == "train/sample_reuse"
+    ]
+    assert reuse_values, "train/sample_reuse not reported"
+    assert all(v <= 1.0 + 1e-6 for v in reuse_values)

@@ -299,3 +299,58 @@ def test_replay_add_overflow_keeps_newest():
     assert int(replay.size) == cap
     got = sorted(np.asarray(replay.value).tolist())
     assert got == list(range(n - cap, n))  # newest 8 survive
+
+
+def test_arena_min_decisives_gate_draw_heavy():
+    """Draw-heavy arena gate (round 5, ArenaConfig.min_decisives): on a
+    6-ply-truncated Connect-4 series no game can be won (a win needs 7
+    plies), so every game draws. With min_decisives the series is
+    inconclusive and promote_when_inconclusive decides; with the default
+    (0) the reference semantics hold (draws-only => score 0.5, the 0.55
+    gate blocks)."""
+
+    def ev(obs):
+        b = obs.shape[0]
+        return jnp.full((b, A), 1.0 / A), jnp.zeros((b,))
+
+    def run_one(cfg):
+        arena = make_arena_fn(ENV, cfg, MCTSConfig(simulations=4),
+                              max_plies=6)
+        return jax.jit(lambda k: arena(ev, ev, k, 8))(jax.random.PRNGKey(0))
+
+    ref = run_one(ArenaConfig())
+    assert int(ref.draws) == 8 and float(ref.score) == 0.5
+    assert not bool(ref.promote)
+
+    fresh = run_one(ArenaConfig(min_decisives=4,
+                                promote_when_inconclusive=True))
+    assert int(fresh.draws) == 8 and bool(fresh.promote)
+
+    keep = run_one(ArenaConfig(min_decisives=4,
+                               promote_when_inconclusive=False))
+    assert not bool(keep.promote)
+
+
+def test_arena_min_decisives_gate_conclusive_series():
+    """With enough decisive games the min_decisives gate defers to the
+    threshold: a strong candidate still promotes, a weak one is blocked."""
+    arena = make_arena_fn(
+        ENV,
+        ArenaConfig(promote_threshold=0.55, min_decisives=4,
+                    promote_when_inconclusive=False),
+        MCTSConfig(simulations=8), max_plies=42,
+    )
+
+    def strong_eval(obs):
+        b = obs.shape[0]
+        probs = jnp.full((b, A), 0.02).at[:, 3].set(0.88)
+        return probs, jnp.zeros((b,))
+
+    win = jax.jit(lambda k: arena(strong_eval, uniform_eval, k, 64))(
+        jax.random.PRNGKey(0)
+    )
+    lose = jax.jit(lambda k: arena(uniform_eval, strong_eval, k, 64))(
+        jax.random.PRNGKey(0)
+    )
+    assert int(win.wins) + int(win.losses) >= 4  # conclusive series
+    assert bool(win.promote) and not bool(lose.promote)
