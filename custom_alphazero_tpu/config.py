@@ -86,6 +86,17 @@ class MCTSConfig:
     gumbel_max_considered: int = 16  # m: root candidate actions
     gumbel_c_visit: float = 50.0
     gumbel_c_scale: float = 1.0
+    # Incremental edge statistics for the compressed (top-K) layout
+    # (round 5, VERDICT r4 #3): maintain a (N, K) child-index table at
+    # CREATE and read per-edge stats by gather from the per-child
+    # visits/value_sum, instead of reconstructing (B, N, K) stats with an
+    # O(C*N*K) einsum + an O(C*N) child-match every wave — the dominant
+    # cost of large-tree searches (chess at 800 sims: N = 800 makes the
+    # reconstruction ~170 GFLOP/wave). Bit-exact (tests/test_topk_search
+    # runs both settings). Default OFF: the gathers lower pathologically
+    # inside the generation ply scan on the TPU backend (the round-4
+    # crasher class) — standalone searches (bench, arena) are safe.
+    fast_edge_stats: bool = False
 
 
 @dataclass(frozen=True)

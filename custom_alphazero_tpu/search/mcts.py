@@ -174,6 +174,12 @@ class Tree:
     root_prior: Optional[jnp.ndarray] = None
     root_visits: Optional[jnp.ndarray] = None
     root_value_sum: Optional[jnp.ndarray] = None
+    # fast_edge_stats layout only (round 5, VERDICT r4 #3): (N, K) child
+    # node index per (node, slot) edge, UNVISITED where no child exists.
+    # Maintained incrementally at CREATE; lets the per-wave selection read
+    # edge stats by gather from the per-child visits/value_sum instead of
+    # reconstructing them with an O(C*N*K) einsum per wave.
+    child_index: Optional[jnp.ndarray] = None
 
 
 def _onehot(idx: jnp.ndarray, size: int) -> jnp.ndarray:
@@ -242,6 +248,10 @@ class MCTS:
             root_visits=jnp.zeros((a,), jnp.float32) if compressed else None,
             root_value_sum=(
                 jnp.zeros((a,), jnp.float32) if compressed else None
+            ),
+            child_index=(
+                jnp.full((n, k), UNVISITED, jnp.int32)
+                if compressed and self.cfg.fast_edge_stats else None
             ),
             expanded=jnp.zeros((n,), jnp.bool_),
             is_terminal=jnp.zeros((n,), jnp.bool_)
@@ -531,24 +541,47 @@ class MCTS:
             # Per-wave PUCT precompute over ALL nodes (stats frozen during
             # select; see module docstring).
             if compressed:
-                # Non-root nodes: (B, N, K) stats matched by (parent,
-                # parent_slot); root children carry parent_slot = -1 and
-                # match nothing (column 0 is overwritten below).
-                pm = (
-                    tree.parent[:, :, None] == jnp.arange(n)
-                ).astype(jnp.float32)
-                sm = (
-                    tree.parent_slot[:, :, None] == jnp.arange(k)
-                ).astype(jnp.float32)
-                stacked = jnp.concatenate(
-                    [
-                        sm * tree.visits[:, :, None],
-                        sm * tree.value_sum[:, :, None],
-                    ],
-                    axis=-1,
-                )  # (B, C, 2K)
-                out = jnp.einsum("bcn,bck->bnk", pm, stacked)
-                nv_k, w_k = out[..., :k], out[..., k:]
+                if tree.child_index is not None:
+                    # fast_edge_stats: edge stats live on the child node;
+                    # read them through the incrementally-maintained
+                    # child-index table (O(N*K) gather per wave instead of
+                    # the O(C*N*K) reconstruction einsum below).
+                    ci = tree.child_index  # (B, N, K)
+                    has = ci >= 0
+                    flat = jnp.clip(ci, 0, n - 1).reshape(batch, n * k)
+                    nv_k = jnp.where(
+                        has,
+                        jnp.take_along_axis(
+                            tree.visits, flat, axis=1
+                        ).reshape(batch, n, k),
+                        0.0,
+                    )
+                    w_k = jnp.where(
+                        has,
+                        jnp.take_along_axis(
+                            tree.value_sum, flat, axis=1
+                        ).reshape(batch, n, k),
+                        0.0,
+                    )
+                else:
+                    # Non-root nodes: (B, N, K) stats matched by (parent,
+                    # parent_slot); root children carry parent_slot = -1
+                    # and match nothing (column 0 is overwritten below).
+                    pm = (
+                        tree.parent[:, :, None] == jnp.arange(n)
+                    ).astype(jnp.float32)
+                    sm = (
+                        tree.parent_slot[:, :, None] == jnp.arange(k)
+                    ).astype(jnp.float32)
+                    stacked = jnp.concatenate(
+                        [
+                            sm * tree.visits[:, :, None],
+                            sm * tree.value_sum[:, :, None],
+                        ],
+                        axis=-1,
+                    )  # (B, C, 2K)
+                    out = jnp.einsum("bcn,bck->bnk", pm, stacked)
+                    nv_k, w_k = out[..., :k], out[..., k:]
                 # Score ties break toward the lowest ACTION index (full-width
                 # argmax semantics), not the lowest slot: pick the smallest
                 # tied action, then recover its slot.
@@ -566,17 +599,23 @@ class MCTS:
                     root_prior, tree.root_visits, tree.root_value_sum
                 )  # (B,)
                 best_a = best_a.at[:, 0].set(root_best)
-                cmatch = (
-                    tree.parent[:, :, None] == jnp.arange(n)[None, None, :]
-                ) & (
-                    tree.parent_slot[:, :, None] == best_k[:, None, :]
-                )  # (B, C, N)
-                best_child = jnp.max(
-                    jnp.where(
-                        cmatch, jnp.arange(n)[None, :, None], UNVISITED
-                    ),
-                    axis=1,
-                ).astype(jnp.int32)  # (B, N)
+                if tree.child_index is not None:
+                    best_child = jnp.take_along_axis(
+                        tree.child_index, best_k[:, :, None], axis=2
+                    )[..., 0]  # (B, N); UNVISITED where no child
+                else:
+                    cmatch = (
+                        tree.parent[:, :, None]
+                        == jnp.arange(n)[None, None, :]
+                    ) & (
+                        tree.parent_slot[:, :, None] == best_k[:, None, :]
+                    )  # (B, C, N)
+                    best_child = jnp.max(
+                        jnp.where(
+                            cmatch, jnp.arange(n)[None, :, None], UNVISITED
+                        ),
+                        axis=1,
+                    ).astype(jnp.int32)  # (B, N)
                 root_child = jnp.max(
                     jnp.where(
                         (tree.parent == 0)
@@ -659,6 +698,21 @@ class MCTS:
                 tree = tree.replace(
                     parent_slot=write_col(tree.parent_slot, i, sel_slot, new)
                 )
+                if tree.child_index is not None:
+                    # Link the new child into its parent's (node, slot)
+                    # cell (root children keep sel_slot = -1: the one-hot
+                    # is all-zero and nothing is written — the root path
+                    # resolves children through parent_action).
+                    link = (
+                        _onehot(node, n)[:, :, None]
+                        * _onehot(sel_slot, k)[:, None, :]
+                    ) > 0
+                    link = link & new[:, None, None]
+                    tree = tree.replace(
+                        child_index=jnp.where(
+                            link, jnp.int32(i), tree.child_index
+                        )
+                    )
 
             # EXPAND the leaf (skip terminal / already-expanded leaves).
             # A leaf needing expansion is always in the wave's slot: the

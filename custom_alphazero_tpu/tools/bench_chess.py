@@ -26,10 +26,11 @@ NET = ModelConfig(depth=4, filters=128, value_hidden=256)
 
 
 def measure(batch_size: int, use_net: bool = True, sims: int = None,
-            topk: int = 0):
+            topk: int = 0, fast: bool = False):
     SIMS = sims or globals()["SIMS"]
     env = Chess(ChessConfig())
-    cfg = MCTSConfig(simulations=SIMS, topk_actions=topk)
+    cfg = MCTSConfig(simulations=SIMS, topk_actions=topk,
+                     fast_edge_stats=fast)
     mcts = MCTS(env, cfg)
     if use_net:
         net = PolicyValueNet(env.num_actions, NET)
@@ -65,6 +66,8 @@ def measure(batch_size: int, use_net: bool = True, sims: int = None,
     dt = (time.perf_counter() - t0) / iters
     rate = batch_size * SIMS / dt
     name = "net" if use_net else "uniform"
+    if fast:
+        name += "+fast"
     print(f"B={batch_size} [{name}]: {rate:,.0f} sims/s ({dt*1e3:.1f} ms/search)")
     return rate
 
@@ -75,7 +78,13 @@ if __name__ == "__main__":
     sizes = []
     sims = None
     topk = 0
+    fast = False
     for a in sys.argv[1:]:
+        if a == "--fast":
+            # mcts.fast_edge_stats: incremental child-index edge stats
+            # (round 5) — the standalone-search configuration.
+            fast = True
+            continue
         if a.startswith("--sims="):
             sims = int(a.split("=", 1)[1])
             continue
@@ -97,6 +106,6 @@ if __name__ == "__main__":
         sizes.append(int(a))
     sizes = sizes or [64, 256, 1024]
     for b in sizes:
-        measure(b, use_net=True, sims=sims, topk=topk)
+        measure(b, use_net=True, sims=sims, topk=topk, fast=fast)
     for b in sizes[-2:]:
-        measure(b, use_net=False, sims=sims, topk=topk)
+        measure(b, use_net=False, sims=sims, topk=topk, fast=fast)

@@ -111,6 +111,77 @@ def labeled_dataset(
     }
 
 
+def _boards_from_obs(obs: np.ndarray):
+    """Invert board_obs: (N, 6, 7, 4) observation -> (N, 6, 7) int8."""
+    return (obs[..., 1] - obs[..., 2]).astype(np.int8)
+
+
+def strongline_dataset(
+    n_positions: int,
+    seed: int = 0,
+    opening_plies: int = 8,
+    epsilon: float = 0.15,
+    max_ply: int = 34,
+    solver: Optional[sv.ConnectFourSolver] = None,
+    exclude: tuple = (),
+):
+    """Label positions along (near-)perfect-play lines (round 5, VERDICT
+    r4 #2): random ``opening_plies``-ply openings — the final_eval
+    protocol's start distribution — then both sides play solver-optimal
+    moves (uniform among value-optimal columns) with an ``epsilon``
+    chance of a uniformly random deviation per ply. Every distinct
+    position along these lines gets the oracle one-hot policy + exact
+    value. This covers exactly the region where c4-r4 leaked games to
+    the perfect opponent: positions reachable under strong play, which
+    random-rollout sampling (labeled_dataset) under-represents.
+
+    ``exclude``: board keys (bytes) never to emit (eval-set dedup).
+    """
+    solver = solver or sv.ConnectFourSolver()
+    rng = np.random.default_rng(seed)
+    seen = set(exclude)
+    obs, pis, zs, optimal = [], [], [], []
+    while len(obs) < n_positions:
+        board = np.zeros((6, 7), np.int8)
+        ended = False
+        for _ in range(opening_plies):
+            legal = sv.legal_columns(board)
+            board, ended = sv.play_canonical(board, int(rng.choice(legal)))
+            if ended:
+                break
+        ply = opening_plies
+        while not ended and ply < max_ply and len(obs) < n_positions:
+            vals = child_values(board, solver)
+            best = max(vals.values())
+            key = board.tobytes()
+            if key not in seen:
+                seen.add(key)
+                opt = np.zeros(7, bool)
+                for col, v in vals.items():
+                    opt[col] = v == best
+                ranked, value = solver.ranked_moves_and_value(board)
+                pi = np.zeros(7, np.float32)
+                pi[sv.legal_columns(board)[ranked[0]]] = 1.0
+                obs.append(board_obs(board))
+                pis.append(pi)
+                zs.append(np.float32(value))
+                optimal.append(opt)
+            legal = sv.legal_columns(board)
+            if rng.random() < epsilon:
+                col = int(rng.choice(legal))
+            else:
+                best_cols = [c for c, v in vals.items() if v == best]
+                col = int(rng.choice(best_cols))
+            board, ended = sv.play_canonical(board, col)
+            ply += 1
+    return {
+        "obs": np.stack(obs),
+        "pi": np.stack(pis),
+        "z": np.asarray(zs, np.float32),
+        "optimal": np.stack(optimal),
+    }
+
+
 def run_distillation(
     train_set: dict,
     test_set: dict,
@@ -181,6 +252,40 @@ def main(argv=None):
     steps = int(args.get("--steps", 3000))
     t0 = time.time()
     solver = sv.ConnectFourSolver()
+    if "--strong_out" in args:
+        # Strong-line labels (VERDICT r4 #2): dedup against any npz sets
+        # passed via --exclude (comma-separated), then optionally merge
+        # with an existing label set via --merge.
+        exclude = set()
+        for path in filter(None, args.get("--exclude", "").split(",")):
+            prev = np.load(path)
+            for b in _boards_from_obs(prev["obs"]):
+                exclude.add(b.tobytes())
+        data = strongline_dataset(
+            n,
+            seed=int(args.get("--seed", 2000)),
+            epsilon=float(args.get("--epsilon", 0.15)),
+            opening_plies=int(args.get("--opening_plies", 8)),
+            max_ply=int(args.get("--max_ply", 34)),
+            solver=solver,
+            exclude=tuple(exclude),
+        )
+        if "--merge" in args:
+            prev = np.load(args["--merge"])
+            merged = {}
+            for key in data:
+                if key in prev:
+                    merged[key] = np.concatenate([prev[key], data[key]])
+                else:  # aux-value-only sets carry just obs/z
+                    merged[key] = data[key]
+            data = merged
+        np.savez_compressed(args["--strong_out"], **data)
+        print(
+            f"Wrote {len(data['obs'])} labeled positions "
+            f"({n} strong-line new) to {args['--strong_out']} in "
+            f"{time.time() - t0:.0f}s"
+        )
+        return
     if "--labels_out" in args:
         # Write a labeled evaluation set (the eval_labels.npz generator;
         # consumed by tools/strength.labeled_policy_accuracy and

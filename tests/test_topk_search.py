@@ -45,8 +45,10 @@ def _search_outputs(env, cfg, states, sims, seed=0):
     )
 
 
-@pytest.mark.parametrize("use_noise", [False, True])
-def test_chess_topk_matches_full_width(use_noise):
+@pytest.mark.parametrize("use_noise,fast", [
+    (False, False), (True, False), (False, True), (True, True),
+])
+def test_chess_topk_matches_full_width(use_noise, fast):
     env = Chess(ChessConfig())
     states = jax.vmap(lambda _: env.init())(jnp.arange(3))
     # Diversify roots: play a couple of fixed opening moves on games 1, 2.
@@ -59,7 +61,8 @@ def test_chess_topk_matches_full_width(use_noise):
     )
     sims = 24
     base = MCTSConfig(
-        simulations=sims, use_dirichlet=use_noise, dirichlet_alpha=0.5
+        simulations=sims, use_dirichlet=use_noise, dirichlet_alpha=0.5,
+        fast_edge_stats=fast,
     )
     full = _search_outputs(
         env, base.__class__(**{**base.__dict__, "topk_actions": -1}),
