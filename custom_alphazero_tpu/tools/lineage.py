@@ -16,7 +16,7 @@ Output: a markdown table (promotion iteration -> accuracies) plus one JSON
 line for machine consumption.
 
 Run: python -m custom_alphazero_tpu.tools.lineage --run_id=strong-r2 \
-       --labels=eval_labels.npz [--probe_games=0] [--sims=250]
+       --labels=data/eval_labels.npz [--probe_games=0] [--sims=250]
 """
 
 from __future__ import annotations

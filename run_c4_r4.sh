@@ -18,7 +18,7 @@ exec python -m custom_alphazero_tpu.runtime.supervisor \
   --replay.capacity=400000 --replay.min_size=20000 \
   --loop.train_iterations_per_generation=20 \
   --loop.samples_checkpoint_frequency=100 --loop.visualize_frequency=100 \
-  --loop.solver_labels_path=train_labels.npz \
+  --loop.solver_labels_path=data/train_labels.npz \
   --loop.solver_value_weight=0.25 --loop.solver_value_batch=256 \
   --arena.games=256 --arena.evaluation_frequency=200 \
   --arena.checkpoint_frequency=200 --arena.evaluate_with_solver=true \

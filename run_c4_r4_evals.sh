@@ -8,8 +8,8 @@ RUN=${1:-c4-r4}
 set -x
 # Training-regime sims and a play-strength (deployment) budget.
 python -m custom_alphazero_tpu.tools.final_eval --run_id=$RUN \
-  --labels=eval_labels.npz --games=20 --sims=250 --seed=7
+  --labels=data/eval_labels.npz --games=20 --sims=250 --seed=7
 python -m custom_alphazero_tpu.tools.final_eval --run_id=$RUN \
   --games=20 --sims=800 --seed=7
-python -m custom_alphazero_tpu.tools.lineage --run_id=$RUN --labels=eval_labels.npz
+python -m custom_alphazero_tpu.tools.lineage --run_id=$RUN --labels=data/eval_labels.npz
 python -m custom_alphazero_tpu.tools.run_report --run_id=$RUN

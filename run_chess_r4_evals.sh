@@ -8,14 +8,14 @@ RUN=${1:-chess-r4}
 WHICH=${2:-last}
 set -x
 python -m custom_alphazero_tpu.tools.chess_tactics \
-  --labels=chess_tactics_300.npz --run_id=$RUN --which=$WHICH
+  --labels=data/chess_tactics_300.npz --run_id=$RUN --which=$WHICH
 python -m custom_alphazero_tpu.tools.chess_tactics \
-  --labels=chess_tactics_300.npz --run_id=$RUN --which=$WHICH --mcts=true --sims=100
-if [ -f chess_mate2_300.npz ]; then
+  --labels=data/chess_tactics_300.npz --run_id=$RUN --which=$WHICH --mcts=true --sims=100
+if [ -f data/chess_mate2_300.npz ]; then
 python -m custom_alphazero_tpu.tools.chess_tactics \
-  --labels=chess_mate2_300.npz --run_id=$RUN --which=$WHICH
+  --labels=data/chess_mate2_300.npz --run_id=$RUN --which=$WHICH
 python -m custom_alphazero_tpu.tools.chess_tactics \
-  --labels=chess_mate2_300.npz --run_id=$RUN --which=$WHICH --mcts=true --sims=100
+  --labels=data/chess_mate2_300.npz --run_id=$RUN --which=$WHICH --mcts=true --sims=100
 fi
 python -m custom_alphazero_tpu.tools.chess_strength \
   --run_id=$RUN --which=$WHICH --opponent=random,greedy --games=64 --sims=100
