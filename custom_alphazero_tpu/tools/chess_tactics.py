@@ -378,19 +378,41 @@ def main(argv=None):
             positions=int(args.get("--positions", 200)),
             seed=int(args.get("--seed", 0)),
         )
-    from custom_alphazero_tpu.tools.strength import load_run_model
+    if args.get("--uniform", "false").lower() == "true":
+        # Uniform-evaluator control (VERDICT r4 weak #5): separates "the
+        # net is bad" from "the simulation budget is structurally
+        # insufficient" — the round-3 mate-in-1 control methodology,
+        # now available for any labels set / budget.
+        import jax.numpy as jnp
 
-    env, evaluate_fn, cfg, meta = load_run_model(
-        args["--run_id"], args.get("--results_dir", "results"),
-        args.get("--which", "best"), game="chess",
-    )
+        from custom_alphazero_tpu.config import ChessConfig
+        from custom_alphazero_tpu.envs.chess.engine import Chess
+
+        env = Chess(ChessConfig())
+        a = env.num_actions
+
+        def evaluate_fn(obs):
+            b = obs.shape[0]
+            return (jnp.full((b, a), 1.0 / a, jnp.float32),
+                    jnp.zeros((b,), jnp.float32))
+
+        meta = {"steps": None}
+        run_id = "uniform"
+    else:
+        from custom_alphazero_tpu.tools.strength import load_run_model
+
+        env, evaluate_fn, cfg, meta = load_run_model(
+            args["--run_id"], args.get("--results_dir", "results"),
+            args.get("--which", "best"), game="chess",
+        )
+        run_id = args["--run_id"]
     report = evaluate_tactics(
         evaluate_fn,
         args["--labels"],
         use_mcts=args.get("--mcts", "false").lower() == "true",
         sims=int(args.get("--sims", 64)),
     )
-    report.update(run_id=args["--run_id"], steps=meta.get("steps"))
+    report.update(run_id=run_id, steps=meta.get("steps"))
     print(json.dumps(report))
     return report
 
