@@ -228,6 +228,14 @@ class LoopConfig:
     # (TRAINING.md, results/logs/distill_value.log round 3). Empty = off.
     solver_labels_path: str = ""
     solver_value_weight: float = 0.25
+    # Auxiliary labeled-POLICY cross-entropy weight (round 5): when > 0
+    # and the solver_labels_path npz carries a ``pi`` array (one-hot
+    # oracle/engine-labeled moves — e.g. mating moves from
+    # tools/chess_tactics --generate, or the Connect-4 oracle best move
+    # from tools/distill), the same per-step label subset also trains
+    # the policy head. The chess prior-starvation antidote that doesn't
+    # need co-evolution to discover tactics first. 0 = off.
+    solver_policy_weight: float = 0.0
     # Sample-reuse guardrail (round 5, VERDICT r4 weak #4): the loop
     # emits train/sample_reuse = trained samples / fresh samples per
     # generation and warns when it exceeds 1. With max_sample_reuse > 0,

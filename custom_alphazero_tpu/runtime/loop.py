@@ -184,6 +184,7 @@ class Learner:
         # device; every train step adds a value MSE term on a random
         # subset (runtime/train.py make_train_step aux args).
         self.solver_labels = None
+        self.solver_labels_pi = None
         if cfg.loop.solver_labels_path:
             labels = np.load(cfg.loop.solver_labels_path)
             self.solver_labels = (
@@ -196,12 +197,28 @@ class Learner:
                 f"(weight={cfg.loop.solver_value_weight}, "
                 f"batch={cfg.loop.solver_value_batch})"
             )
+            if cfg.loop.solver_policy_weight > 0.0:
+                assert "pi" in labels, (
+                    "loop.solver_policy_weight > 0 needs a 'pi' array in "
+                    f"{cfg.loop.solver_labels_path}"
+                )
+                self.solver_labels_pi = jnp.asarray(
+                    labels["pi"], jnp.float32
+                )
+                print(
+                    "solver aux policy target: weight="
+                    f"{cfg.loop.solver_policy_weight}"
+                )
         self.train_step = jax.jit(make_train_step(
             self.net, cfg.model,
             aux_value_weight=(
                 cfg.loop.solver_value_weight if self.solver_labels else 0.0
             ),
             aux_value_batch=cfg.loop.solver_value_batch,
+            aux_policy_weight=(
+                cfg.loop.solver_policy_weight
+                if self.solver_labels_pi is not None else 0.0
+            ),
         ))
         self.policy_codec = (
             TopKPolicyCodec(self.env.num_actions, cfg.replay.policy_topk)
@@ -638,9 +655,13 @@ def run(cfg: Config, generations: Optional[int] = None) -> dict:
                 obs_b, pi_b, z_b = learner.replay_sample(replay, k_batch)
                 if learner.solver_labels is not None:
                     rng, k_aux = jax.random.split(rng)
+                    aux_extra = (
+                        (learner.solver_labels_pi,)
+                        if learner.solver_labels_pi is not None else ()
+                    )
                     train_state, m = learner.train_step(
                         train_state, obs_b, pi_b, z_b, k_aux,
-                        *learner.solver_labels,
+                        *learner.solver_labels, *aux_extra,
                     )
                 else:
                     train_state, m = learner.train_step(
@@ -657,6 +678,10 @@ def run(cfg: Config, generations: Optional[int] = None) -> dict:
                 if learner.solver_labels is not None:
                     train_scalars["train/solver_value_loss"] = float(
                         m.solver_value_loss
+                    )
+                if learner.solver_labels_pi is not None:
+                    train_scalars["train/solver_policy_loss"] = float(
+                        m.solver_policy_loss
                     )
                 touch_liveness_file()
                 if heartbeat is not None:

@@ -48,6 +48,9 @@ class TrainMetrics(NamedTuple):
     # import time, which breaks jax.distributed.initialize ordering in
     # multi-process entrypoints (tests/test_multihost.py).
     solver_value_loss: Any = 0.0
+    # Auxiliary labeled-policy cross-entropy (0 when off,
+    # LoopConfig.solver_policy_weight) — same host-scalar default rule.
+    solver_policy_loss: Any = 0.0
 
 
 def init_train_state(
@@ -67,21 +70,23 @@ def init_train_state(
 
 def make_train_step(
     net: PolicyValueNet, cfg: ModelConfig, aux_value_weight: float = 0.0,
-    aux_value_batch: int = 256,
+    aux_value_batch: int = 256, aux_policy_weight: float = 0.0,
 ) -> Callable[..., Tuple[TrainState, TrainMetrics]]:
     """The jit-pure gradient step. With ``aux_value_weight > 0`` the
-    returned step takes three extra args — ``(rng, aux_obs, aux_z)``, the
-    full device-resident solver-labeled arrays (LoopConfig
+    returned step takes extra args — ``(rng, aux_obs, aux_z[, aux_pi])``,
+    the full device-resident labeled arrays (LoopConfig
     .solver_labels_path) — and adds ``weight * MSE(value(aux_batch),
-    exact_z)`` to the loss, drawing a fresh uniform row subset each step.
-    The aux forward runs in eval mode (no batch_stats mutation): the
-    labeled set's distribution must not steer the BN running stats that
-    self-play inference uses."""
+    exact_z)`` to the loss, drawing a fresh uniform row subset each step;
+    with ``aux_policy_weight > 0`` the same subset also contributes
+    ``weight * CE(policy(aux_batch), aux_pi)`` (round 5: engine-labeled
+    tactics / oracle-policy distillation). The aux forward runs in eval
+    mode (no batch_stats mutation): the labeled set's distribution must
+    not steer the BN running stats that self-play inference uses."""
     optimizer = make_optimizer(cfg)
     schedule = learning_rate_schedule(cfg)
 
     def train_step(state: TrainState, obs, target_pi, target_z,
-                   rng=None, aux_obs=None, aux_z=None):
+                   rng=None, aux_obs=None, aux_z=None, aux_pi=None):
         def loss_fn(params):
             (logits, value), mutated = net.apply(
                 {"params": params, "batch_stats": state.batch_stats},
@@ -93,22 +98,32 @@ def make_train_step(
             lv = value_loss(value, target_z)
             l2 = l2_penalty(params, cfg.l2)
             laux = jnp.float32(0.0)
-            if aux_value_weight > 0.0:
+            laux_pi = jnp.float32(0.0)
+            if aux_value_weight > 0.0 or aux_policy_weight > 0.0:
                 n = aux_obs.shape[0]
                 k = min(n, aux_value_batch)
                 idx = jax.random.randint(rng, (k,), 0, n)
-                _, aux_value = net.apply(
+                aux_logits, aux_value = net.apply(
                     {"params": params, "batch_stats": state.batch_stats},
                     jnp.take(aux_obs, idx, axis=0),
                     train=False,
                 )
-                laux = value_loss(aux_value, jnp.take(aux_z, idx, axis=0))
-            total = lp + lv + l2 + aux_value_weight * laux
-            return total, (lp, lv, l2, laux, mutated["batch_stats"])
+                if aux_value_weight > 0.0:
+                    laux = value_loss(
+                        aux_value, jnp.take(aux_z, idx, axis=0)
+                    )
+                if aux_policy_weight > 0.0:
+                    laux_pi = policy_loss(
+                        aux_logits, jnp.take(aux_pi, idx, axis=0)
+                    )
+            total = (lp + lv + l2 + aux_value_weight * laux
+                     + aux_policy_weight * laux_pi)
+            return total, (lp, lv, l2, laux, laux_pi,
+                           mutated["batch_stats"])
 
-        (loss, (lp, lv, l2, laux, batch_stats)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(state.params)
+        (loss, (lp, lv, l2, laux, laux_pi, batch_stats)), grads = (
+            jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        )
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         new_state = TrainState(
@@ -120,7 +135,7 @@ def make_train_step(
         metrics = TrainMetrics(
             loss=loss, policy_loss=lp, value_loss=lv, l2=l2,
             learning_rate=schedule(state.steps), steps=new_state.steps,
-            solver_value_loss=laux,
+            solver_value_loss=laux, solver_policy_loss=laux_pi,
         )
         return new_state, metrics
 

@@ -193,3 +193,47 @@ def test_sample_reuse_guardrail_clamps_and_reports(tmp_path):
     ]
     assert reuse_values, "train/sample_reuse not reported"
     assert all(v <= 1.0 + 1e-6 for v in reuse_values)
+
+
+def test_loop_with_aux_policy_target(tmp_path):
+    """loop.solver_policy_weight (round 5): a labels npz carrying `pi`
+    trains the policy head on the labeled subset each step; the loop
+    loads it, reports train/solver_policy_loss, and runs end to end."""
+    import json
+    import os
+
+    import numpy as np
+
+    from custom_alphazero_tpu import paths
+    from custom_alphazero_tpu.runtime.loop import Learner, run
+
+    rng = np.random.default_rng(0)
+    n = 64
+    pi = np.zeros((n, 7), np.float32)
+    pi[np.arange(n), rng.integers(0, 7, n)] = 1.0
+    np.savez(
+        tmp_path / "labels.npz",
+        obs=rng.standard_normal((n, 6, 7, 4)).astype(np.float32),
+        z=rng.choice([-1.0, 0.0, 1.0], n).astype(np.float32),
+        pi=pi,
+    )
+
+    cfg = _tiny_cfg(tmp_path, "auxpi1", 2)
+    cfg = apply_overrides(cfg, {
+        "loop.solver_labels_path": str(tmp_path / "labels.npz"),
+        "loop.solver_value_weight": "0.5",
+        "loop.solver_policy_weight": "0.5",
+        "loop.solver_value_batch": "16",
+    })
+    summary = run(cfg)
+    assert summary["iterations"] == 4
+
+    learner = Learner(cfg)
+    assert learner.solver_labels_pi is not None
+
+    jsonl = os.path.join(
+        paths.tensorboard_path(str(tmp_path), "connect_n", "auxpi1"),
+        "metrics.jsonl",
+    )
+    tags = {json.loads(line)["tag"] for line in open(jsonl)}
+    assert "train/solver_policy_loss" in tags
