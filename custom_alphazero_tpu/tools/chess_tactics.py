@@ -366,6 +366,37 @@ def main(argv=None):
     from custom_alphazero_tpu.tools.cli import parse_kv_args
 
     args = parse_kv_args(argv or sys.argv[1:], __doc__)
+    if "--export_labels" in args:
+        # Convert tactics sets (--labels=a.npz,b.npz) into the aux-label
+        # format the training loop consumes (loop.solver_labels_path:
+        # obs/pi/z): pi = uniform over the labeled mating moves, z = +1
+        # (the side to move mates / forces mate — the exact value).
+        import jax.numpy as jnp
+
+        env = Chess(ChessConfig())
+        obs_fn = jax.jit(jax.vmap(env.observe))
+        obs_all, pi_all, z_all = [], [], []
+        for src in args["--labels"].split(","):
+            data = np.load(src)
+            states = states_from_npz(env, data)
+            key = "mate_mask" if "mate_mask" in data else "mate2_mask"
+            mm = data[key].astype(np.float32)
+            pi = mm / np.maximum(mm.sum(-1, keepdims=True), 1e-9)
+            for i0 in range(0, len(states), 64):
+                chunk = states[i0:i0 + 64]
+                stacked = jax.tree.map(lambda *ls: jnp.stack(ls), *chunk)
+                obs_all.append(np.asarray(obs_fn(stacked)))
+            pi_all.append(pi)
+            z_all.append(np.ones(len(states), np.float32))
+        out = args["--export_labels"]
+        np.savez_compressed(
+            out,
+            obs=np.concatenate(obs_all).astype(np.float32),
+            pi=np.concatenate(pi_all),
+            z=np.concatenate(z_all),
+        )
+        print(f"Wrote {sum(len(z) for z in z_all)} tactic labels to {out}")
+        return
     if "--generate" in args:
         return generate_tactics(
             args["--generate"],
@@ -384,9 +415,6 @@ def main(argv=None):
         # insufficient" — the round-3 mate-in-1 control methodology,
         # now available for any labels set / budget.
         import jax.numpy as jnp
-
-        from custom_alphazero_tpu.config import ChessConfig
-        from custom_alphazero_tpu.envs.chess.engine import Chess
 
         env = Chess(ChessConfig())
         a = env.num_actions
