@@ -294,17 +294,31 @@ def generate_mate_in_2(
     return {"positions": total, "path": path}
 
 
-def states_from_npz(env: Chess, data) -> list:
-    states = []
-    for i in range(data["board"].shape[0]):
-        states.append(env.state_from_arrays(
-            data["board"][i],
-            [bool(x) for x in data["castling"][i]],
-            int(data["ep_file"][i]),
-            int(data["halfmove"][i]),
-            int(data["fullmove"][i]),
-        ))
-    return states
+def states_from_npz(env: Chess, data):
+    """BATCHED state construction: one jitted vmap over every row.
+
+    The per-row path (one state_from_arrays call per position, each
+    dispatching a full 1968-action legality pass through the device
+    tunnel at ~0.3-0.5 s of latency) made the eval tools tens of minutes
+    slow at round-5 set sizes; one vmapped build is a single compile +
+    one dispatch. Returns a batched state pytree (leading axis = rows)."""
+
+    @jax.jit
+    def build(board, castling, ep, hm, fm):
+        return jax.vmap(env.state_from_arrays)(board, castling, ep, hm, fm)
+
+    return build(
+        jnp.asarray(np.asarray(data["board"]), jnp.int8),
+        jnp.asarray(np.asarray(data["castling"]).astype(bool)),
+        jnp.asarray(np.asarray(data["ep_file"]), jnp.int32),
+        jnp.asarray(np.asarray(data["halfmove"]), jnp.int32),
+        jnp.asarray(np.asarray(data["fullmove"]), jnp.int32),
+    )
+
+
+def slice_states(states, i0, i1):
+    """Slice a batched state pytree along the leading axis."""
+    return jax.tree.map(lambda x: x[i0:i1], states)
 
 
 def evaluate_tactics(
@@ -329,11 +343,9 @@ def evaluate_tactics(
         mcts = MCTS(env, MCTSConfig(simulations=sims))
         search = jax.jit(lambda s, k: mcts.root_child_visits(
             mcts.search(s, evaluate_fn, k, sims)))
-        for i0 in range(0, len(states), batch):
-            chunk = states[i0:i0 + batch]
-            stacked = jax.tree.map(
-                lambda *ls: jnp.stack(ls), *chunk
-            )
+        n_rows = len(data["board"])
+        for i0 in range(0, n_rows, batch):
+            stacked = slice_states(states, i0, min(i0 + batch, n_rows))
             visits = np.asarray(
                 search(stacked, jax.random.PRNGKey(i0))
             )
@@ -343,15 +355,15 @@ def evaluate_tactics(
     else:
         obs_fn = jax.jit(jax.vmap(env.observe))
         fwd = jax.jit(lambda o: evaluate_fn(o)[0])
-        for i0 in range(0, len(states), batch):
-            chunk = states[i0:i0 + batch]
-            stacked = jax.tree.map(lambda *ls: jnp.stack(ls), *chunk)
+        n_rows = len(data["board"])
+        for i0 in range(0, n_rows, batch):
+            stacked = slice_states(states, i0, min(i0 + batch, n_rows))
             probs = np.asarray(fwd(obs_fn(stacked)))
-            probs = np.where(legal_mask[i0:i0 + len(chunk)], probs, -1.0)
+            probs = np.where(legal_mask[i0:i0 + len(probs)], probs, -1.0)
             act = probs.argmax(axis=-1)
             for j, a in enumerate(act):
                 hits.append(bool(mate_mask[i0 + j, a]))
-    for i in range(len(states)):
+    for i in range(len(data["board"])):
         rand_base.append(mate_mask[i].sum() / max(legal_mask[i].sum(), 1))
     return {
         "accuracy": float(np.mean(hits)),
@@ -382,12 +394,12 @@ def main(argv=None):
             key = "mate_mask" if "mate_mask" in data else "mate2_mask"
             mm = data[key].astype(np.float32)
             pi = mm / np.maximum(mm.sum(-1, keepdims=True), 1e-9)
-            for i0 in range(0, len(states), 64):
-                chunk = states[i0:i0 + 64]
-                stacked = jax.tree.map(lambda *ls: jnp.stack(ls), *chunk)
+            n_rows = len(data["board"])
+            for i0 in range(0, n_rows, 64):
+                stacked = slice_states(states, i0, min(i0 + 64, n_rows))
                 obs_all.append(np.asarray(obs_fn(stacked)))
             pi_all.append(pi)
-            z_all.append(np.ones(len(states), np.float32))
+            z_all.append(np.ones(n_rows, np.float32))
         out = args["--export_labels"]
         np.savez_compressed(
             out,
