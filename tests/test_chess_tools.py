@@ -18,6 +18,7 @@ from custom_alphazero_tpu.tools.chess_tactics import (
     evaluate_tactics,
     generate_tactics,
     states_from_npz,
+    slice_states,
 )
 
 
@@ -42,7 +43,12 @@ def test_generate_tactics_labels_real_mates(tmp_path):
     # Every labeled mating move must actually end the game as a win for
     # the mover; every labeled non-mating legal move must not.
     checked_mate = checked_quiet = 0
-    for i, st in enumerate(states[:4]):
+    import jax as _jax
+    n_check = min(4, len(data["board"]))
+    states_list = [
+        _jax.tree.map(lambda x, j=j: x[j], states) for j in range(n_check)
+    ]
+    for i, st in enumerate(states_list):
         mate_actions = np.nonzero(data["mate_mask"][i])[0]
         legal_actions = np.nonzero(data["legal_mask"][i])[0]
         assert len(mate_actions) >= 1
@@ -126,7 +132,11 @@ def test_generate_mate_in_2_labels_force_mate(tmp_path):
     def legal_of(st):
         return np.nonzero(np.asarray(st.legal))[0]
 
-    for i, st in enumerate(states[:2]):
+    import jax as _jax
+    states_list = [
+        _jax.tree.map(lambda x, j=j: x[j], states) for j in range(2)
+    ]
+    for i, st in enumerate(states_list):
         moves = np.nonzero(data["mate2_mask"][i])[0]
         assert len(moves) >= 1
         # The position has no mate-in-1.
