@@ -116,6 +116,11 @@ class ModelConfig:
     lr_boundaries: Tuple[int, ...] = (150_000, 300_000)
     lr_values: Tuple[float, ...] = (1e-2, 1e-3, 1e-4)
     batch_size: int = 256
+    # Global-norm gradient clipping (0 = off, the reference behavior).
+    # Needed when strong auxiliary targets (loop.solver_policy_weight)
+    # train from a random init at the full initial LR: the combined
+    # policy gradient can diverge within a handful of SGD steps.
+    grad_clip_norm: float = 0.0
     # bfloat16 activations on the MXU; fp32 params and losses.
     compute_dtype: str = "bfloat16"
 

@@ -53,4 +53,9 @@ def learning_rate_schedule(cfg: ModelConfig) -> optax.Schedule:
 
 
 def make_optimizer(cfg: ModelConfig) -> optax.GradientTransformation:
-    return optax.sgd(learning_rate_schedule(cfg), momentum=cfg.momentum)
+    sgd = optax.sgd(learning_rate_schedule(cfg), momentum=cfg.momentum)
+    if cfg.grad_clip_norm > 0:
+        # NOTE: toggling clipping changes the opt_state pytree, so a
+        # checkpoint written with one setting cannot resume with the other.
+        return optax.chain(optax.clip_by_global_norm(cfg.grad_clip_norm), sgd)
+    return sgd

@@ -20,6 +20,7 @@ Run:  python -m custom_alphazero_tpu.runtime.loop --mcts.simulations=64 ...
 
 from __future__ import annotations
 
+import math
 import os
 import sys
 import time
@@ -668,6 +669,17 @@ def run(cfg: Config, generations: Optional[int] = None) -> dict:
                         train_state, obs_b, pi_b, z_b
                     )
                 iteration = int(m.steps)
+                if not math.isfinite(float(m.loss)):
+                    # SGD momentum never recovers from a non-finite update;
+                    # every later step (and any self-play from these params)
+                    # would be garbage. Fail loud instead (same spirit as
+                    # the sample-reuse guardrail).
+                    raise RuntimeError(
+                        f"train/loss is non-finite at step {iteration} "
+                        f"(policy={float(m.policy_loss)}, "
+                        f"value={float(m.value_loss)}): training diverged. "
+                        "Lower model.lr_values or set model.grad_clip_norm."
+                    )
                 train_scalars = {
                     "train/loss": float(m.loss),
                     "train/policy_loss": float(m.policy_loss),

@@ -15,7 +15,7 @@ exec python -m custom_alphazero_tpu.runtime.supervisor \
   --mcts.gumbel_max_considered=16 \
   --self_play.games_per_generation=$B --self_play.continuous=true \
   --self_play.exclude_draws=false --self_play.max_plies=256 \
-  --model.batch_size=512 \
+  --model.batch_size=512 --model.grad_clip_norm=5.0 \
   --replay.capacity=100000 --replay.min_size=4000 --replay.policy_topk=128 \
   --loop.train_iterations_per_generation=16 --loop.max_sample_reuse=1.0 \
   --loop.samples_checkpoint_frequency=0 --loop.visualize_frequency=0 \
