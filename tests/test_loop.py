@@ -237,3 +237,42 @@ def test_loop_with_aux_policy_target(tmp_path):
     )
     tags = {json.loads(line)["tag"] for line in open(jsonl)}
     assert "train/solver_policy_loss" in tags
+
+
+def test_grad_clip_and_nonfinite_loss_abort(tmp_path):
+    """model.grad_clip_norm + the loop's non-finite-loss abort (round 5):
+    the engine-labeled tactics aux target at weight 1.0 from a random init
+    diverged to NaN within 4 SGD steps at the default LR; with clipping
+    the same regime trains, and without it the loop fails LOUD instead of
+    continuing on NaN parameters."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    import pytest as _pytest
+
+    from custom_alphazero_tpu.config import ModelConfig
+    from custom_alphazero_tpu.models.losses import make_optimizer
+    from custom_alphazero_tpu.runtime.loop import run
+
+    # Optimizer unit: the clipped update is bounded by clip_norm * lr.
+    import dataclasses
+    cfg_m = dataclasses.replace(
+        ModelConfig(), grad_clip_norm=1.0, lr_values=(0.1,), lr_boundaries=()
+    )
+    opt = make_optimizer(cfg_m)
+    p = {"kernel": jnp.zeros((4,))}
+    state = opt.init(p)
+    updates, _ = opt.update({"kernel": jnp.full((4,), 1e6)}, state, p)
+    assert float(optax.global_norm(updates)) <= 0.1 + 1e-6
+
+    # Loop: absurd LR with no clipping must raise the divergence abort.
+    cfg = _tiny_cfg(tmp_path, "nanabort", 3)
+    cfg = apply_overrides(cfg, {
+        "model.lr_values": "(1000000.0,)",
+        "model.lr_boundaries": "()",
+        "loop.train_iterations_per_generation": "8",
+        "arena.evaluation_frequency": "0",
+        "arena.checkpoint_frequency": "0",
+    })
+    with _pytest.raises(RuntimeError, match="non-finite"):
+        run(cfg)
