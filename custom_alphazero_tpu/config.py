@@ -191,6 +191,21 @@ class ArenaConfig:
     # (evaluate.py:106-131) exactly.
     min_decisives: int = 0
     promote_when_inconclusive: bool = False
+    # Oracle veto on the head-to-head gate (round 5 c4-r5 finding: the
+    # searched arena promoted a net that beats its predecessor 0.552 over
+    # 248 decisives yet leaks MORE games to the perfect solver — 11 vs
+    # 7-9 non-lost-opening losses on identical seed-0 openings. Relative
+    # strength and oracle-optimality decouple: candidates learn lines
+    # that punish nets like themselves, not lines that minimize regret
+    # vs perfect play). With solver_score_veto=true (requires
+    # evaluate_with_solver), a candidate that wins the arena is still
+    # BLOCKED if its oracle-scored move quality is more than
+    # solver_score_veto_margin below the score the incumbent posted when
+    # it was promoted. The running best score lives on the coordinator
+    # host; the veto is broadcast so SPMD hosts agree. Not persisted
+    # across resume (first post-resume promotion re-seeds it).
+    solver_score_veto: bool = False
+    solver_score_veto_margin: float = 0.02
 
 
 @dataclass(frozen=True)
@@ -326,6 +341,13 @@ def validate(config: Config) -> Config:
     if any(b2 <= b1 for b1, b2 in zip(m.lr_boundaries, m.lr_boundaries[1:])):
         raise ValueError(
             f"model.lr_boundaries must be strictly increasing: {m.lr_boundaries}"
+        )
+    if config.arena.solver_score_veto and not (
+        config.arena.evaluate_with_solver and config.game == "connect_n"
+    ):
+        raise ValueError(
+            "arena.solver_score_veto needs arena.evaluate_with_solver=true "
+            "on connect_n (the oracle scores arena moves there)"
         )
     s = config.mcts
     if s.max_nodes and s.max_nodes < s.simulations:

@@ -441,6 +441,10 @@ def run(cfg: Config, generations: Optional[int] = None) -> dict:
                "last_arena_score": None}
     pending_save = None
     best_updated = False
+    # Coordinator-held oracle score of the reigning best, seeded at its
+    # promotion arena (arena.solver_score_veto; None until the first
+    # post-start promotion — the veto never fires before that).
+    best_solver_score = None
 
     from custom_alphazero_tpu.runtime.watchdog import (
         CompileGraceToucher,
@@ -754,9 +758,13 @@ def run(cfg: Config, generations: Optional[int] = None) -> dict:
                         metrics.scalar(
                             "evaluation/winning_score", score, iteration
                         )
-                    if (cfg.arena.evaluate_with_solver
-                            and cfg.game == "connect_n"
-                            and cfg.connect_n == type(cfg.connect_n)()):
+                    solver_score = None
+                    solver_eval_ran = (
+                        cfg.arena.evaluate_with_solver
+                        and cfg.game == "connect_n"
+                        and cfg.connect_n == type(cfg.connect_n)()
+                    )
+                    if solver_eval_ran:
                         # Oracle-scored candidate moves (reference
                         # evaluate.py:53-59; default 7x6 board only — the
                         # native solver is compiled for it).
@@ -788,10 +796,34 @@ def run(cfg: Config, generations: Optional[int] = None) -> dict:
                                     "evaluation/solver_score", solver_score,
                                     iteration,
                                 )
+                    if (promoted and cfg.arena.solver_score_veto
+                            and solver_eval_ran):
+                        # Every host must reach the broadcast (promoted is
+                        # device-derived so identical across hosts); only
+                        # the coordinator holds the scores.
+                        veto = bool(
+                            coordinator
+                            and best_solver_score is not None
+                            and solver_score is not None
+                            and solver_score < best_solver_score
+                            - cfg.arena.solver_score_veto_margin
+                        )
+                        if distributed.broadcast_flag(veto):
+                            promoted = False
+                            if coordinator:
+                                print(
+                                    f"[iter {iteration}] solver-score veto: "
+                                    f"candidate {solver_score:.3f} < best "
+                                    f"{best_solver_score:.3f} - "
+                                    f"{cfg.arena.solver_score_veto_margin}"
+                                    " — promotion blocked"
+                                )
                     if promoted:
                         best = (train_state.params, train_state.batch_stats)
                         summary["promotions"] += 1
                         best_updated = True
+                        if coordinator and solver_score is not None:
+                            best_solver_score = solver_score
                     # The *winner*'s weights land in evaluation/iteration_N —
                     # the candidate when promoted, the incumbent otherwise
                     # (reference model/tensorflow/train.py:92-102).

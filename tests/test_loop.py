@@ -276,3 +276,42 @@ def test_grad_clip_and_nonfinite_loss_abort(tmp_path):
     })
     with _pytest.raises(RuntimeError, match="non-finite"):
         run(cfg)
+
+
+def test_solver_score_veto_blocks_regressing_candidate(tmp_path, monkeypatch):
+    """arena.solver_score_veto (round 5, from the c4-r5 finding): the
+    head-to-head gate promoted a net that regressed against the oracle.
+    With the veto on, a candidate that wins the arena is still blocked
+    when its oracle-scored move quality drops below the reigning best's
+    promotion-time score minus the margin."""
+    from custom_alphazero_tpu.runtime.loop import run
+    from custom_alphazero_tpu.tools import strength
+
+    # Oracle scores per arena: first promotion seeds best at 0.8; the
+    # second candidate scores 0.5 -> vetoed; the third scores 0.85 ->
+    # passes.
+    scores = iter([0.8, 0.5, 0.85])
+    monkeypatch.setattr(strength, "score_arena_log", lambda log: next(scores))
+
+    cfg = _tiny_cfg(tmp_path, "veto1", 3)
+    cfg = apply_overrides(cfg, {
+        # Every arena "wins" head-to-head; the veto is the only gate.
+        "arena.promote_threshold": "0.0",
+        "arena.evaluate_with_solver": "true",
+        "arena.solver_score_veto": "true",
+        "arena.solver_score_veto_margin": "0.02",
+        "arena.evaluation_frequency": "2",
+        "arena.checkpoint_frequency": "2",
+        "loop.train_iterations_per_generation": "2",
+    })
+    summary = run(cfg)
+    # Arenas at steps 2, 4, 6...: promote, veto, promote.
+    assert summary["promotions"] == 2
+
+
+def test_solver_score_veto_requires_solver_arena():
+    from custom_alphazero_tpu.config import Config, apply_overrides
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="solver_score_veto"):
+        apply_overrides(Config(), {"arena.solver_score_veto": "true"})
